@@ -1,0 +1,52 @@
+"""Run configuration.
+
+Mirrors the reference CLI's ``GlobalOptions`` (sid.cpp:11-17) — same fields,
+same defaults — and adds the TPU-framework knobs (mesh shape, fit backend,
+precision, IO backend) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Options:
+    # --- reference-compatible options (sid.cpp:11-17) ---
+    method: str = "local"
+    estimate_prior: bool = False          # -R
+    snp_prior: float = -1.0               # -r (<=0 means "no prior")
+    significance_level: float = 0.05      # -p
+    site_error_threshold: float = 0.1     # -E
+
+    # --- framework options (no reference equivalent) ---
+    # "exact": host long-double fit, bitwise-compatible with the reference's
+    #          GSL nmsimplex2 trajectory. "device": JAX f64 fit (lax.while_loop
+    #          + psum over shards) — the scale path.
+    fit_backend: str = "device"
+    # pileup parser backend: "native" (C++ shared lib) with "python" fallback.
+    io_backend: str = "auto"
+    # exact p-values: compute erfc on host with libm (GSL-compatible);
+    # False keeps the transform on device (XLA erfc, ~4e-8 relative error).
+    exact_pvalues: bool = True
+    # number of devices along the site-sharding mesh axis (None = all local)
+    mesh_devices: Optional[int] = None
+    # fit the Lynch model per shard (reference scripts' semantics,
+    # scripts/sid-pipeline/parallel-run-sid.sh) instead of globally (psum).
+    per_shard_fit: bool = False
+    # emit reference-identical stderr diagnostics (call.cpp:72,78-80)
+    diagnostics: bool = True
+    # output path ("-" = stdout)
+    output: str = "-"
+
+    def validate(self) -> None:
+        if self.method not in ("local", "bayes", "likelihood_ratio", "quality", ""):
+            # The reference silently prints only the CSV header for unknown
+            # methods (sid.cpp:92-102 falls through every branch); we keep
+            # that observable behavior in the CLI but let the API reject.
+            raise ValueError(f"unknown method: {self.method!r}")
+        if self.fit_backend not in ("exact", "device"):
+            raise ValueError(f"unknown fit backend: {self.fit_backend!r}")
+        if self.io_backend not in ("auto", "native", "python"):
+            raise ValueError(f"unknown io backend: {self.io_backend!r}")
