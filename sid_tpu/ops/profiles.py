@@ -1,0 +1,65 @@
+"""Host-side profile compaction and nucleotide distribution.
+
+The key algorithmic dedup of the engine (pileup.cpp:169-217): genome-scale
+site counts collapse to a small set of unique (A,C,G,T) profiles, so all
+per-profile device math is O(U) with U << N. ``np.unique`` reproduces the
+reference's lexicographic profile ordering (profile_t operator<), and the
+inverse index replaces its ``std::map<profile_t, size_t>`` join
+(call.cpp:82-86).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def unique_profiles(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact per-site base-count rows into unique profiles.
+
+    Returns ``(profiles (U,4) int32 lexicographically sorted, multiplicity
+    (U,) int64, inverse (N,) int64)`` with ``profiles[inverse] == counts``.
+    Empty input gives empty arrays (countUniqueProfiles' empty case).
+    """
+    counts = np.asarray(counts)
+    if counts.shape[0] == 0:
+        return (
+            np.zeros((0, 4), np.int32),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+        )
+    prof, inverse, mult = np.unique(
+        counts, axis=0, return_inverse=True, return_counts=True
+    )
+    return prof.astype(np.int32), mult.astype(np.int64), inverse.reshape(-1).astype(np.int64)
+
+
+def coverage_of(profiles: np.ndarray) -> np.ndarray:
+    return profiles.sum(axis=1, dtype=np.int64)
+
+
+def filter_min_coverage(
+    profiles: np.ndarray, mult: np.ndarray, min_coverage: int = 4
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Drop profiles below the coverage threshold (call.cpp:66-70).
+
+    Returns (profiles, mult, kept_mask over the original U axis).
+    """
+    keep = coverage_of(profiles) >= min_coverage
+    return profiles[keep], mult[keep], keep
+
+
+def nucleotide_distribution(profiles: np.ndarray, mult: np.ndarray) -> np.ndarray:
+    """Weighted base composition over unique profiles (pileup.cpp:198-217).
+
+    acc[i] = sum(mult * profile[:, i]) normalized by total base count;
+    uniform {0.25}*4 when the total is zero.
+    """
+    profiles = np.asarray(profiles, np.uint64)
+    mult = np.asarray(mult, np.uint64)
+    acc = (profiles * mult[:, None]).sum(axis=0, dtype=np.uint64)
+    total = acc.sum(dtype=np.uint64)
+    if total == 0:
+        return np.array([0.25, 0.25, 0.25, 0.25])
+    return acc.astype(np.float64) / np.float64(total)

@@ -1,0 +1,90 @@
+"""Statistical tests on device: LRT p-values, multiple-testing corrections.
+
+Replaces the reference's GSL calls (stats.cpp:10-80) with closed forms:
+``Q_chisq(x, df=1) = erfc(sqrt(x/2))`` (gsl_cdf_chisq_Q at stats.cpp:33) and
+a sort + cumulative-min Benjamini-Hochberg (stats.cpp:68-80). The full
+stats.hpp API surface is provided, including the members unused by the
+reference's main paths (aic/relative likelihoods, Bonferroni).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def chisq_q_df1(chisq: jnp.ndarray) -> jnp.ndarray:
+    """Upper-tail chi-square survival, df=1: erfc(sqrt(x/2))."""
+    return jax.scipy.special.erfc(jnp.sqrt(chisq * 0.5))
+
+
+def lrt_pvalue_from_logs(log_l0: jnp.ndarray, log_l1: jnp.ndarray) -> jnp.ndarray:
+    """likelihoodRatioTest (stats.cpp:29-37) on log-likelihood inputs.
+
+    chisq = -2 (ln l0 - ln max(l0, l1)) = 2 max(0, ln l1 - ln l0);
+    l0 == 0 (log -inf) gives Q(DBL_MAX, 1) == 0.
+    """
+    chisq = 2.0 * jnp.maximum(0.0, log_l1 - log_l0)
+    p = chisq_q_df1(chisq)
+    return jnp.where(jnp.isneginf(log_l0), 0.0, p)
+
+
+def adjust_benjamini_hochberg(p_values: jnp.ndarray) -> jnp.ndarray:
+    """BH step-up adjustment, reference semantics (stats.cpp:68-80).
+
+    Sort descending; adjusted[sorted[i]] = running min of p*m/(m-i) (the
+    i = 0 entry is the raw p, exactly); clamp values > 1 to 1. Ties in p are
+    output-invariant to sort order (the running min absorbs them), so the
+    descending argsort here is faithful to the reference's unstable sort.
+    """
+    m = p_values.shape[0]
+    if m == 0:
+        return p_values
+    order = jnp.argsort(-p_values)
+    sorted_p = p_values[order]
+    i = jnp.arange(m, dtype=jnp.float64)
+    scaled = sorted_p * jnp.float64(m) / (jnp.float64(m) - i)
+    scaled = scaled.at[0].set(sorted_p[0])  # stats.cpp:74 assigns raw p
+    adj = jax.lax.associative_scan(jnp.minimum, scaled)
+    out = jnp.zeros_like(p_values).at[order].set(adj)
+    return jnp.where(out > 1.0, 1.0, out)
+
+
+def adjust_bonferroni(p_values: jnp.ndarray, n: int = 0) -> jnp.ndarray:
+    """Bonferroni correction (stats.cpp:48-56; unused by reference main paths)."""
+    if n <= 0:
+        n = p_values.shape[0]
+    return p_values * jnp.float64(n)
+
+
+def aic(likelihood: jnp.ndarray, num_params: jnp.ndarray) -> jnp.ndarray:
+    """Akaike information criterion (stats.cpp:10-12; reference dead code)."""
+    return 2.0 * num_params - 2.0 * jnp.log(likelihood)
+
+
+def relative_likelihoods(likelihood_pairs: jnp.ndarray) -> jnp.ndarray:
+    """AIC-based relative likelihoods (stats.cpp:14-27; reference dead code).
+
+    Input (m, 2) likelihood pairs; output (m, 2) with the better model at 1.0.
+    """
+    a = aic(likelihood_pairs, 2.0)
+    first, second = a[..., 0], a[..., 1]
+    rel_first = jnp.where(first < second, 1.0, jnp.exp((second - first) / 2.0))
+    rel_second = jnp.where(first < second, jnp.exp((first - second) / 2.0), 1.0)
+    return jnp.stack([rel_first, rel_second], axis=-1)
+
+
+def log_binomial_coefficient(n: jnp.ndarray, k: jnp.ndarray, lgamma_tab: jnp.ndarray) -> jnp.ndarray:
+    """ln C(n, k) via the integer-lgamma table (call.cpp:344-347)."""
+    return lgamma_tab[n + 1] - lgamma_tab[n - k + 1] - lgamma_tab[k + 1]
+
+
+def binomial_pmf(n, k, p, lgamma_tab) -> jnp.ndarray:
+    """Binomial pmf via the lgamma trick (the stale suite's
+    binom_probability_gamma spec, test-likelihoods.cpp:22-52)."""
+    n = jnp.asarray(n, jnp.int32)
+    k = jnp.asarray(k, jnp.int32)
+    p = jnp.asarray(p, jnp.float64)
+    logc = log_binomial_coefficient(n, k, lgamma_tab)
+    logpmf = logc + k * jnp.log(p) + (n - k) * jnp.log1p(-p)
+    return jnp.exp(logpmf)
