@@ -1,0 +1,146 @@
+"""Command-line interface, flag-compatible with the reference ``sid``.
+
+Reproduces sid.cpp:11-110: the same short flags with the same defaults and
+help text (-m method, -r fixed prior, -R estimated prior, -p significance
+level, -E site error cap, -h), the header-only output for unrecognized
+methods, "No file name given!" on missing input, and exit codes. Framework
+knobs (engine/fit backend, mesh shape, output path) are long options the
+reference never had, so every reference invocation works unchanged.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+from typing import List, Optional
+
+from sid_tpu.config import Options
+
+# (name-for-help, takes_arg, description) in the reference's map order
+# (std::map<char, ...> iterates in char order: E R h m p r; sid.cpp:26-58)
+_REF_OPTIONS = [
+    ("E", "ERROR", True,
+     "Maximum allowed site error rate for 'local' method. Default: 0.1"),
+    ("R", "", False,
+     "Estimate SNP prior from data, applicable for methods 'likelihood_ratio', 'local', 'quality'. Conflicts -r."),
+    ("h", "help", False, "Print this help message"),
+    ("m", "METHOD", True,
+     "Select the method to use for SNP calling: 'likelihood_ratio' , 'bayes', 'local' or 'quality', default: local"),
+    ("p", "LEVEL", True,
+     "Significance level for statistical tests, only applicable for methods 'likelihood_ratio', 'local'. Default: 0.05"),
+    ("r", "PRIOR", True,
+     "Use the given prior for SNPs, applicable for methods 'local', 'quality'. Conflicts -R. Default: no prior"),
+]
+
+_LONG_OPTIONS = [
+    ("engine=", "Compute engine: 'device' (JAX/TPU, default) or 'exact' (host long-double oracle)"),
+    ("fit=", "Lynch fit backend: 'device' (default) or 'exact'"),
+    ("io=", "Pileup parser backend: 'auto' (default), 'native', 'python'"),
+    ("output=", "Output CSV path ('-' = stdout, default)"),
+    ("devices=", "Number of mesh devices for the site axis (default: all local)"),
+    ("per-shard-fit", "Fit the Lynch model per shard (reference-script semantics) instead of globally"),
+    ("help", "Print this help message"),
+]
+
+
+def _print_help(out=None) -> None:
+    out = out if out is not None else sys.stdout
+    print("sid [flags] input_file", file=out)
+    for char, name, has_arg, desc in _REF_OPTIONS:
+        arg = f" {name}" if has_arg else ""
+        print(f"\t-{char}{arg}\t{desc}", file=out)
+    for name, desc in _LONG_OPTIONS:
+        arg = name.rstrip("=")
+        suffix = " VALUE" if name.endswith("=") else ""
+        print(f"\t--{arg}{suffix}\t{desc}", file=out)
+
+
+def _atof(s: str) -> float:
+    """C atof: parse a leading float, 0.0 on garbage (sid.cpp uses atof)."""
+    import re
+
+    m = re.match(r"\s*[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|"
+                 r"0[xX][0-9a-fA-F]+|inf(inity)?|nan)", s)
+    if not m:
+        return 0.0
+    try:
+        return float(m.group(0))
+    except ValueError:
+        return 0.0
+
+
+def parse_args(argv: List[str]) -> Optional[tuple]:
+    """Returns (options, input_path) or None if already handled (help)."""
+    opts = Options()
+    shortopts = "E:Rhm:p:r:"
+    longopts = [name for name, _ in _LONG_OPTIONS]
+    try:
+        parsed, rest = getopt.gnu_getopt(argv, shortopts, longopts)
+    except getopt.GetoptError:
+        sys.exit(1)  # unknown flag: exit(EXIT_FAILURE) (sid.cpp:80)
+
+    for flag, value in parsed:
+        if flag in ("-h", "--help"):
+            # the reference prints help and keeps going: `sid -h` with no
+            # file still errors with "No file name given!" (sid.cpp:75-108)
+            _print_help()
+        elif flag == "-m":
+            opts.method = value
+        elif flag == "-r":
+            opts.snp_prior = _atof(value)
+        elif flag == "-R":
+            opts.estimate_prior = True
+        elif flag == "-p":
+            opts.significance_level = _atof(value)
+        elif flag == "-E":
+            opts.site_error_threshold = _atof(value)
+        elif flag == "--engine":
+            opts.engine = value
+        elif flag == "--fit":
+            opts.fit_backend = value
+        elif flag == "--io":
+            opts.io_backend = value
+        elif flag == "--output":
+            opts.output = value
+        elif flag == "--devices":
+            opts.mesh_devices = int(value)
+        elif flag == "--per-shard-fit":
+            opts.per_shard_fit = True
+
+    if not rest:
+        print("No file name given!", file=sys.stderr)
+        sys.exit(1)
+    return opts, rest[0]
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parsed = parse_args(argv)
+    if parsed is None:
+        return 0
+    options, input_path = parsed
+    try:
+        f = open(input_path, "rb")
+    except OSError:
+        print(f"Could not open file: {input_path}", file=sys.stderr)
+        sys.exit(1)
+
+    from sid_tpu import engine
+
+    def diag(line: str) -> None:
+        if options.diagnostics:
+            print(line, file=sys.stderr)
+
+    with f:
+        csv = engine.run(f, options, diag)
+
+    if options.output in ("-", ""):
+        sys.stdout.write(csv)
+    else:
+        with open(options.output, "w") as out:
+            out.write(csv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,6 +21,10 @@ class Options:
     site_error_threshold: float = 0.1     # -E
 
     # --- framework options (no reference equivalent) ---
+    # "device": JAX kernels for all per-profile/per-site math (the scale
+    # path). "exact": host long-double oracle (bit-faithful to the
+    # reference's precision semantics; slow, for parity/debug).
+    engine: str = "device"
     # "exact": host long-double fit, bitwise-compatible with the reference's
     #          GSL nmsimplex2 trajectory. "device": JAX f64 fit (lax.while_loop
     #          + psum over shards) — the scale path.

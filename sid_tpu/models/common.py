@@ -1,0 +1,142 @@
+"""Shared calling-method machinery: allele selection, results, CSV assembly.
+
+``CallResult`` is a struct-of-arrays over output sites (the reference's
+vector<OutputRecord>, call.hpp:23-38); CSV assembly reproduces the ostream
+serializer byte-for-byte, including `%g` float formatting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sid_tpu.utils.format import fmt_g
+
+CSV_HEADER = "chrom,pos,label,gt,hom_conf,het_conf,conf_type"
+
+# natural log of the smallest positive 80-bit-extended subnormal (2^-16445):
+# linear long-double likelihoods below this underflow to exactly 0 in the
+# reference, which flips its l2>l1 and LRT l_H0==0 branches. The device
+# log-space kernels clamp to -inf at this point to reproduce that behavior.
+LONG_DOUBLE_UNDERFLOW_LOG = -16445.0 * math.log(2.0)
+
+ALLELES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def major_allele_indices_np(counts: np.ndarray):
+    """Top-2 allele indices with the reference's tie-break (call.cpp:52-60).
+
+    The reference ascending-sorts {0,1,2,3} by count with what is in practice
+    a stable sort (libstdc++ insertion sort at n=4) and takes positions 3, 2:
+    among tied counts the *higher* base index wins. Encoding count*4+index
+    makes that tie-break explicit.
+    """
+    counts = np.asarray(counts, np.int64)
+    scores = counts * 4 + np.arange(4, dtype=np.int64)
+    order = np.argsort(scores, axis=-1)
+    return order[..., 3].astype(np.int32), order[..., 2].astype(np.int32)
+
+
+def major_allele_indices(counts: jnp.ndarray):
+    """Device version of the top-2 allele selection (same tie-break)."""
+    counts = counts.astype(jnp.int64)
+    scores = counts * 4 + jnp.arange(4, dtype=jnp.int64)
+    top = jnp.argsort(scores, axis=-1)[..., ::-1]
+    return top[..., 0].astype(jnp.int32), top[..., 1].astype(jnp.int32)
+
+
+def clamp_ld_underflow(log_l: jnp.ndarray) -> jnp.ndarray:
+    """Map log-likelihoods the reference would underflow to 0 onto -inf."""
+    return jnp.where(log_l < LONG_DOUBLE_UNDERFLOW_LOG, -jnp.inf, log_l)
+
+
+@dataclasses.dataclass
+class CallResult:
+    """Struct-of-arrays over the emitted sites, in output order."""
+
+    chrom_id: np.ndarray  # (M,) int32 -> chrom_table
+    chrom_table: List[str]
+    pos: np.ndarray  # (M,) int32
+    is_het: np.ndarray  # (M,) bool
+    major: np.ndarray  # (M,) int32  allele index
+    second: np.ndarray  # (M,) int32
+    conf_hom: np.ndarray  # (M,) float64
+    conf_het: np.ndarray  # (M,) float64
+    conf_type: str  # "p_value" | "probability"
+
+    @property
+    def num_records(self) -> int:
+        return int(self.pos.shape[0])
+
+    def labels(self) -> np.ndarray:
+        return np.where(self.is_het, "het", "hom")
+
+    def genotypes(self) -> List[str]:
+        a = ALLELES[self.major]
+        b = np.where(self.is_het, ALLELES[self.second], ALLELES[self.major])
+        return [chr(x) + chr(y) for x, y in zip(a, b)]
+
+    def to_csv_lines(self) -> List[str]:
+        """One CSV line per record (operator<<, call.hpp:29-38)."""
+        table = self.chrom_table
+        gts = self.genotypes()
+        out = []
+        for k in range(self.num_records):
+            label = "het" if self.is_het[k] else "hom"
+            out.append(
+                f"{table[self.chrom_id[k]]},{self.pos[k]},{label},{gts[k]},"
+                f"{fmt_g(float(self.conf_hom[k]))},{fmt_g(float(self.conf_het[k]))},"
+                f"{self.conf_type}"
+            )
+        return out
+
+    def to_csv(self, include_header: bool = True) -> str:
+        lines = self.to_csv_lines()
+        head = [CSV_HEADER] if include_header else []
+        body = head + lines
+        return "\n".join(body) + "\n" if body else ""
+
+
+def gather_result(
+    batch,
+    conf_type: str,
+    inverse: np.ndarray,
+    is_het_u: np.ndarray,
+    major_u: np.ndarray,
+    second_u: np.ndarray,
+    p1_u: np.ndarray,
+    p2_u: np.ndarray,
+    keep_u: Optional[np.ndarray] = None,
+) -> CallResult:
+    """Join per-unique-profile classifications back onto input sites.
+
+    Replaces the reference's map<profile_t,size_t> join (call.cpp:129-140):
+    ``inverse`` maps each site to its unique-profile row; sites whose profile
+    was filtered out (``keep_u`` False) are omitted from the output, in input
+    order, like the cov<4 drop in likelihood_ratio/bayes.
+    """
+    if keep_u is not None:
+        site_keep = keep_u[inverse]
+        # remap site -> unfiltered-U -> filtered-U row
+        filtered_row = np.cumsum(keep_u) - 1
+        inverse = filtered_row[inverse[site_keep]]
+        chrom_id = batch.chrom_id[site_keep]
+        pos = batch.pos[site_keep]
+    else:
+        chrom_id = batch.chrom_id
+        pos = batch.pos
+    return CallResult(
+        chrom_id=chrom_id,
+        chrom_table=batch.chrom_table,
+        pos=pos,
+        is_het=np.asarray(is_het_u)[inverse],
+        major=np.asarray(major_u)[inverse],
+        second=np.asarray(second_u)[inverse],
+        conf_hom=np.asarray(p1_u, np.float64)[inverse],
+        conf_het=np.asarray(p2_u, np.float64)[inverse],
+        conf_type=conf_type,
+    )

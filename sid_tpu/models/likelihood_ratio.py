@@ -1,0 +1,47 @@
+"""Method ``likelihood_ratio``: Lynch fit + LRT + Benjamini-Hochberg.
+
+Reference: callLikelihoodRatio (call.cpp:62-143), the thesis-pipeline
+configuration (`sid -R -m likelihood_ratio`). Coverage>=4 profiles; fit;
+optional prior weighting (-R); two LRT p-values per profile; BH correction
+across *unique profiles* (not sites); het iff adjusted p2 < alpha; filtered
+sites omitted from output.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from sid_tpu.config import Options
+from sid_tpu.models import common
+from sid_tpu.models.lynch import fit_profiles
+from sid_tpu.ops import stats
+from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
+
+
+def call_likelihood_ratio(batch, options: Options, diag=None) -> common.CallResult:
+    profiles, mult, inverse = unique_profiles(batch.counts)
+    profiles, mult, keep = filter_min_coverage(profiles, mult, 4)
+    if diag:
+        diag(f"# unique profiles: {profiles.shape[0]}")
+    pi, eps, log_l_hom, log_l_het, _ = fit_profiles(profiles, mult, options, diag)
+    if diag:
+        diag(f"# heterozygosity: {pi:.6e}")
+        diag(f"# error: {eps:.6e}")
+
+    log_l_hom = jnp.asarray(log_l_hom)
+    log_l_het = jnp.asarray(log_l_het)
+    if options.estimate_prior:
+        log_l_het = log_l_het + jnp.log(jnp.float64(pi))
+        log_l_hom = log_l_hom + jnp.log(jnp.float64(1.0 - pi))
+    p1 = stats.lrt_pvalue_from_logs(log_l_het, log_l_hom)  # confidence vs het
+    p2 = stats.lrt_pvalue_from_logs(log_l_hom, log_l_het)
+    adj_p1 = stats.adjust_benjamini_hochberg(p1)
+    adj_p2 = stats.adjust_benjamini_hochberg(p2)
+    is_het = np.asarray(adj_p2) < options.significance_level
+    major, second = common.major_allele_indices_np(profiles)
+
+    return common.gather_result(
+        batch, "p_value", inverse, is_het, major, second,
+        np.asarray(adj_p1), np.asarray(adj_p2), keep_u=keep,
+    )

@@ -1,0 +1,110 @@
+"""Method ``local`` (the default): per-site maximum-likelihood error rates.
+
+Reference: callSiteMLError (call.cpp:213-289). Per unique profile, plug-in
+error rates — hom: (cov - n_major)/cov, het: 1.5*(cov - n1 - n2)/cov, both
+capped at the -E threshold — feed the fixed-allele likelihood kernels; LRT
+p-values (no multiple-testing correction); het iff l2 > l1 and p2 < alpha.
+No coverage filter: every input site is emitted.
+
+Device mapping: one fused elementwise kernel over the unique-profile axis
+(vmapped log-space likelihoods + erfc), with U bucket-padded to stabilize
+compiled shapes. Zero-coverage profiles reproduce the reference's NaN error
+edge case (0/0 -> NaN -> powl(x,0)==1 semantics, call.cpp:243-254).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sid_tpu.config import Options
+from sid_tpu.models import common
+from sid_tpu.ops import likelihoods, stats
+from sid_tpu.ops.lgamma import lgamma_int_table
+from sid_tpu.ops.profiles import unique_profiles
+from sid_tpu.utils.padding import pad_axis0
+
+
+@functools.partial(jax.jit, static_argnames=("ld_parity",))
+def classify_local(
+    profiles: jnp.ndarray,
+    error_threshold: jnp.ndarray,
+    significance_level: jnp.ndarray,
+    snp_prior: jnp.ndarray,
+    lgamma_tab: jnp.ndarray,
+    ld_parity: bool = True,
+):
+    """Per-profile classification kernel (call.cpp:238-273), batched over U."""
+    profiles = profiles.astype(jnp.int32)
+    cov = profiles.sum(-1).astype(jnp.float64)
+    major, second = common.major_allele_indices(profiles)
+    n1 = jnp.take_along_axis(profiles, major[..., None], -1)[..., 0].astype(jnp.float64)
+    n2 = jnp.take_along_axis(profiles, second[..., None], -1)[..., 0].astype(jnp.float64)
+
+    error1 = (cov - n1) / cov  # 0/0 -> NaN, reference edge case
+    error1 = jnp.where(error1 > error_threshold, error_threshold, error1)
+    l1 = likelihoods.log_hom_fixed(profiles, error1, major, lgamma_tab)
+
+    error2 = 1.5 * (cov - n1 - n2) / cov
+    error2 = jnp.where(error2 > error_threshold, error_threshold, error2)
+    l2 = likelihoods.log_het_fixed(profiles, error2, major, second, lgamma_tab)
+
+    if ld_parity:
+        l1 = common.clamp_ld_underflow(l1)
+        l2 = common.clamp_ld_underflow(l2)
+
+    prior_on = snp_prior > 0
+    l1 = l1 + jnp.where(prior_on, jnp.log(1.0 - snp_prior), 0.0)
+    l2 = l2 + jnp.where(prior_on, jnp.log(snp_prior), 0.0)
+
+    p1 = stats.lrt_pvalue_from_logs(l2, l1)
+    p2 = stats.lrt_pvalue_from_logs(l1, l2)
+    is_het = (l2 > l1) & (p2 < significance_level)
+    return is_het, major, second, p1, p2
+
+
+def call_local(batch, options: Options) -> common.CallResult:
+    """End-to-end ``local`` call on a parsed batch (device compute path)."""
+    profiles, mult, inverse = unique_profiles(batch.counts)
+    u = profiles.shape[0]
+    if u == 0:
+        return common.gather_result(
+            batch,
+            "p_value",
+            inverse,
+            np.zeros(0, bool),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.float64),
+            np.zeros(0, np.float64),
+        )
+
+    snp_prior = options.snp_prior
+    if options.estimate_prior:
+        from sid_tpu.models.lynch import estimate_prior_heterozygosity
+
+        snp_prior = estimate_prior_heterozygosity(profiles, mult, options)
+
+    max_cov = int(profiles.sum(-1).max())
+    tab = jnp.asarray(lgamma_int_table(max_cov + 2))
+    padded = pad_axis0(profiles)
+    is_het, major, second, p1, p2 = classify_local(
+        jnp.asarray(padded),
+        jnp.float64(options.site_error_threshold),
+        jnp.float64(options.significance_level),
+        jnp.float64(snp_prior),
+        tab,
+    )
+    return common.gather_result(
+        batch,
+        "p_value",
+        inverse,
+        np.asarray(is_het)[:u],
+        np.asarray(major)[:u],
+        np.asarray(second)[:u],
+        np.asarray(p1)[:u],
+        np.asarray(p2)[:u],
+    )

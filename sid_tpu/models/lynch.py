@@ -1,0 +1,136 @@
+"""The Lynch (2008) genome-wide model fit, device path.
+
+estimateProfileGenotypeLikelihoods (lynch.cpp:17-35) as one jitted program:
+nmsimplex2 over the compound log-likelihood (start (1e-3, 1e-3), step 1e-4),
+then per-profile log L_hom/L_het at the fitted epsilon. The objective is a
+sum over the unique-profile axis — under a site-sharded mesh XLA turns that
+reduction into a psum, which is the framework's only cross-shard collective
+during fitting (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sid_tpu.config import Options
+from sid_tpu.ops import likelihoods
+from sid_tpu.ops.lgamma import lgamma_int_table
+from sid_tpu.ops.nmsimplex import NmResult, minimize_nmsimplex2_jax
+from sid_tpu.ops.profiles import filter_min_coverage, nucleotide_distribution, unique_profiles
+from sid_tpu.utils.padding import pad_axis0
+
+DEFAULT_START = (1e-3, 1e-3)
+DEFAULT_STEP = (1e-4, 1e-4)
+
+
+@jax.jit
+def fit_lynch(
+    profiles: jnp.ndarray,
+    mult: jnp.ndarray,
+    nt: jnp.ndarray,
+    lgamma_tab: jnp.ndarray,
+) -> Tuple[NmResult, jnp.ndarray, jnp.ndarray]:
+    """Fit (pi, epsilon) and evaluate per-profile log likelihoods.
+
+    Returns (NmResult, log_l_hom (U,), log_l_het (U,)). Zero-mult padding
+    rows are inert in the objective and produce discardable likelihood rows.
+    """
+
+    def objective(theta):
+        return likelihoods.compound_neg_log_likelihood(
+            theta, profiles, mult, nt, lgamma_tab
+        )
+
+    res = minimize_nmsimplex2_jax(
+        objective, jnp.asarray(DEFAULT_START), jnp.asarray(DEFAULT_STEP)
+    )
+    eps = res.x[1]
+    log_l_hom = likelihoods.log_hom_marginal(profiles, eps, nt, lgamma_tab)
+    log_l_het = likelihoods.log_het_marginal(profiles, eps, nt, lgamma_tab)
+    return res, log_l_hom, log_l_het
+
+
+def fit_on_filtered_profiles(
+    profiles: np.ndarray,
+    mult: np.ndarray,
+    diag: Optional[Callable[[str], None]] = None,
+) -> Tuple[float, float, np.ndarray, np.ndarray, np.ndarray]:
+    """Host driver: nt distribution + device fit on (already filtered) profiles.
+
+    Returns (pi, eps, log_l_hom (U,), log_l_het (U,), nt). Reproduces the
+    minimizer's stderr convergence diagnostics (optimization.hpp:69-77).
+    """
+    nt = nucleotide_distribution(profiles, mult)
+    max_cov = int(profiles.sum(-1).max()) if profiles.shape[0] else 0
+    tab = jnp.asarray(lgamma_int_table(max_cov + 2))
+    u = profiles.shape[0]
+    prof_pad = pad_axis0(np.asarray(profiles, np.int32))
+    mult_pad = pad_axis0(np.asarray(mult, np.int64))
+    res, log_l_hom, log_l_het = fit_lynch(
+        jnp.asarray(prof_pad), jnp.asarray(mult_pad), jnp.asarray(nt), tab
+    )
+    iters = int(res.iterations)
+    if diag is not None:
+        if bool(res.converged):
+            diag(f"# GSL function minimization converged in {iters} iterations.")
+        else:
+            diag(f"# Error: GSL function minimization did not converge in {iters} iterations!")
+    return (
+        float(res.x[0]),
+        float(res.x[1]),
+        np.asarray(log_l_hom)[:u],
+        np.asarray(log_l_het)[:u],
+        nt,
+    )
+
+
+def fit_profiles(
+    profiles: np.ndarray,
+    mult: np.ndarray,
+    options: Options,
+    diag: Optional[Callable[[str], None]] = None,
+) -> Tuple[float, float, np.ndarray, np.ndarray, np.ndarray]:
+    """Backend-dispatching fit on already-filtered profiles.
+
+    Returns (pi, eps, log_l_hom, log_l_het, nt). ``fit_backend="exact"`` runs
+    the long-double host optimizer (bit-faithful trajectory) and logs the
+    linear likelihoods; "device" runs the jitted while-loop fit.
+    """
+    if options.fit_backend == "exact":
+        from sid_tpu.exact.lynch_ld import estimate_profile_genotype_likelihoods_ld
+
+        nt = nucleotide_distribution(profiles, mult)
+        pi, eps, l_hom, l_het = estimate_profile_genotype_likelihoods_ld(
+            profiles, mult, nt, log=diag
+        )
+        with np.errstate(divide="ignore"):
+            log_l_hom = np.log(l_hom).astype(np.float64)
+            log_l_het = np.log(l_het).astype(np.float64)
+        return pi, eps, log_l_hom, log_l_het, nt
+    return fit_on_filtered_profiles(profiles, mult, diag)
+
+
+def estimate_prior_heterozygosity(
+    profiles: np.ndarray,
+    mult: np.ndarray,
+    options: Options,
+    diag: Optional[Callable[[str], None]] = None,
+) -> float:
+    """The -R estimate-prior path shared by local/quality (call.cpp:223-234).
+
+    Filters cov>=4, fits, returns the heterozygosity as the SNP prior.
+    """
+    fprof, fmult, _ = filter_min_coverage(profiles, mult, 4)
+    if options.fit_backend == "exact":
+        from sid_tpu.exact.lynch_ld import estimate_profile_genotype_likelihoods_ld
+
+        nt = nucleotide_distribution(fprof, fmult)
+        pi, _, _, _ = estimate_profile_genotype_likelihoods_ld(fprof, fmult, nt, log=diag)
+        return pi
+    pi, _, _, _, _ = fit_on_filtered_profiles(fprof, fmult, diag)
+    return pi

@@ -1,0 +1,28 @@
+"""Static-shape bucketing for device arrays.
+
+XLA compiles one executable per shape; padding the unique-profile and site
+axes up to bucket boundaries keeps recompilation bounded (log-many buckets)
+while masked/zero-mult padding rows contribute nothing to results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bucket_size(n: int, minimum: int = 256) -> int:
+    """Next power-of-two bucket >= n (>= minimum)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_axis0(a: np.ndarray, minimum: int = 256, fill=0) -> np.ndarray:
+    """Pad axis 0 up to the bucket size with ``fill``."""
+    n = a.shape[0]
+    b = bucket_size(n, minimum)
+    if b == n:
+        return a
+    pad = [(0, b - n)] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad, constant_values=fill)
