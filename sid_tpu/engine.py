@@ -35,7 +35,7 @@ def call_batch(
         from sid_tpu.models import bayes, likelihood_ratio, local, quality
 
         table = {
-            "local": lambda b, o, d=None: local.call_local(b, o),
+            "local": local.call_local,
             "bayes": bayes.call_bayes,
             "likelihood_ratio": likelihood_ratio.call_likelihood_ratio,
             "quality": quality.call_quality,
@@ -43,6 +43,10 @@ def call_batch(
     fn = table.get(method)
     if fn is None:
         return None  # unknown method: header-only output (sid.cpp:92-102)
+    if options.per_shard_fit:
+        from sid_tpu.parallel.pipeline import call_per_shard
+
+        return call_per_shard(batch, options, fn, diag, by="chromosome")
     return fn(batch, options, diag)
 
 

@@ -66,7 +66,7 @@ def classify_local(
     return is_het, major, second, p1, p2
 
 
-def call_local(batch, options: Options) -> common.CallResult:
+def call_local(batch, options: Options, diag=None) -> common.CallResult:
     """End-to-end ``local`` call on a parsed batch (device compute path)."""
     profiles, mult, inverse = unique_profiles(batch.counts)
     u = profiles.shape[0]
@@ -86,13 +86,21 @@ def call_local(batch, options: Options) -> common.CallResult:
     if options.estimate_prior:
         from sid_tpu.models.lynch import estimate_prior_heterozygosity
 
-        snp_prior = estimate_prior_heterozygosity(profiles, mult, options)
+        snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
 
     max_cov = int(profiles.sum(-1).max())
     tab = jnp.asarray(lgamma_int_table(max_cov + 2))
     padded = pad_axis0(profiles)
+    prof_dev = jnp.asarray(padded)
+    if options.mesh_devices is not None:
+        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+        mesh = make_site_mesh(options.mesh_devices)
+        n_dev = int(np.prod(mesh.devices.shape))
+        if padded.shape[0] % n_dev == 0:
+            prof_dev = jax.device_put(padded, row_sharding(mesh, 2))
     is_het, major, second, p1, p2 = classify_local(
-        jnp.asarray(padded),
+        prof_dev,
         jnp.float64(options.site_error_threshold),
         jnp.float64(options.significance_level),
         jnp.float64(snp_prior),

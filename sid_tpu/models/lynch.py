@@ -112,6 +112,12 @@ def fit_profiles(
             log_l_hom = np.log(l_hom).astype(np.float64)
             log_l_het = np.log(l_het).astype(np.float64)
         return pi, eps, log_l_hom, log_l_het, nt
+    if options.mesh_devices is not None:
+        from sid_tpu.parallel.fit import fit_lynch_global
+        from sid_tpu.parallel.mesh import make_site_mesh
+
+        mesh = make_site_mesh(options.mesh_devices)
+        return fit_lynch_global(profiles, mult, mesh, diag)
     return fit_on_filtered_profiles(profiles, mult, diag)
 
 

@@ -100,12 +100,28 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     max_cov = int(batch.counts.sum(-1).max()) if n else 0
     tab = jnp.asarray(lgamma_int_table(2 * max_cov + 2))
 
-    is_het, major, second, p1, p2 = classify_quality(
-        jnp.asarray(counts),
+    counts_dev = jnp.asarray(counts)
+    reads_dev = [
         jnp.asarray(site_of_read_p),
         jnp.asarray(read_valid),
         jnp.asarray(code_p),
         jnp.asarray(minq_p),
+    ]
+    if options.mesh_devices is not None:
+        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+        mesh = make_site_mesh(options.mesh_devices)
+        n_dev = int(np.prod(mesh.devices.shape))
+        # shard the read axis (the hot loop); per-site arrays stay replicated
+        # so cross-shard segment sums reduce over the mesh
+        if site_of_read_p.shape[0] % n_dev == 0:
+            reads_dev = [
+                jax.device_put(np.asarray(a), row_sharding(mesh, 1))
+                for a in (site_of_read_p, read_valid, code_p, minq_p)
+            ]
+    is_het, major, second, p1, p2 = classify_quality(
+        counts_dev,
+        *reads_dev,
         jnp.float64(snp_prior),
         jnp.float64(options.significance_level),
         tab,
