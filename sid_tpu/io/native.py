@@ -41,6 +41,13 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_checked = True
     path = _find_library()
+    if path is None and not os.environ.get("SIDTPU_NO_BUILD"):
+        try:
+            from sid_tpu.native.build import build
+
+            path = build(verbose=False)
+        except Exception:
+            return None
     if path is None:
         return None
     try:

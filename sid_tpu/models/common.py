@@ -95,10 +95,58 @@ class CallResult:
         return out
 
     def to_csv(self, include_header: bool = True) -> str:
+        native = self._to_csv_native(include_header)
+        if native is not None:
+            return native
         lines = self.to_csv_lines()
         head = [CSV_HEADER] if include_header else []
         body = head + lines
         return "\n".join(body) + "\n" if body else ""
+
+    def _to_csv_native(self, include_header: bool) -> Optional[str]:
+        """Multithreaded C++ serializer (glibc %g == ostream default)."""
+        try:
+            from sid_tpu.io import native as native_mod
+
+            lib = native_mod._load()
+        except Exception:
+            return None
+        if lib is None:
+            return None
+        import ctypes
+
+        from sid_tpu.native.bridge import _configure_writer
+
+        _configure_writer(lib)
+        n = self.num_records
+        blob = "\n".join(self.chrom_table).encode("latin1")
+        chrom_id = np.ascontiguousarray(self.chrom_id, np.int32)
+        pos = np.ascontiguousarray(self.pos, np.int32)
+        is_het = np.ascontiguousarray(self.is_het, np.uint8)
+        major = np.ascontiguousarray(self.major, np.int32)
+        second = np.ascontiguousarray(self.second, np.int32)
+        ch = np.ascontiguousarray(self.conf_hom, np.float64)
+        ct = np.ascontiguousarray(self.conf_het, np.float64)
+        out = ctypes.POINTER(ctypes.c_char)()
+        length = lib.sidtpu_write_csv(
+            blob,
+            chrom_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            is_het.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            major.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            second.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ct.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.conf_type.encode(),
+            n,
+            int(include_header),
+            0,
+            ctypes.byref(out),
+        )
+        try:
+            return ctypes.string_at(out, length).decode("latin1")
+        finally:
+            lib.sidtpu_buffer_free(out)
 
 
 def gather_result(

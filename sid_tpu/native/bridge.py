@@ -1,0 +1,114 @@
+"""ctypes marshalling: libsidtpu parse results -> PileupBatch."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from sid_tpu.utils.errors import MALFORMED, MALFORMED_OR_MISSING, ErrorChannel
+
+
+def _as_array(ptr_fn, res, ctype, count, dtype):
+    if count == 0:
+        return np.zeros(0, dtype)
+    ptr = ctypes.cast(ptr_fn(res), ctypes.POINTER(ctype))
+    return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype, copy=True)
+
+
+def _configure(lib):
+    if getattr(lib, "_sidtpu_configured", False):
+        return
+    lib.sidtpu_parse.restype = ctypes.c_void_p
+    lib.sidtpu_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    for name in ("sidtpu_num_sites", "sidtpu_num_reads", "sidtpu_num_errors"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    for name in (
+        "sidtpu_chrom_id", "sidtpu_pos", "sidtpu_ref_base", "sidtpu_counts",
+        "sidtpu_read_offsets", "sidtpu_read_code", "sidtpu_read_strand",
+        "sidtpu_read_bq", "sidtpu_read_mq", "sidtpu_err_line", "sidtpu_err_code",
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_void_p
+        fn.argtypes = [ctypes.c_void_p]
+    lib.sidtpu_chrom_blob.restype = ctypes.c_char_p
+    lib.sidtpu_chrom_blob.argtypes = [ctypes.c_void_p]
+    lib.sidtpu_free.restype = None
+    lib.sidtpu_free.argtypes = [ctypes.c_void_p]
+    lib._sidtpu_configured = True
+
+
+def parse_with_lib(lib, data: bytes, parse_bq: bool, parse_mq: bool,
+                   errors: ErrorChannel, n_threads: int = 0):
+    from sid_tpu.io.pileup import PileupBatch
+
+    _configure(lib)
+    with_reads = parse_bq or parse_mq
+    res = lib.sidtpu_parse(
+        data, len(data), int(parse_bq), int(parse_mq),
+        int(errors.strict), n_threads,
+    )
+    try:
+        n_err = lib.sidtpu_num_errors(res)
+        if n_err:
+            err_lines = _as_array(lib.sidtpu_err_line, res, ctypes.c_int64, n_err, np.int64)
+            err_codes = _as_array(lib.sidtpu_err_code, res, ctypes.c_int32, n_err, np.int32)
+            for ln, code in zip(err_lines, err_codes):
+                # strict channels raise on the first report
+                errors.report(
+                    int(ln), MALFORMED_OR_MISSING if code == 1 else MALFORMED
+                )
+        n = lib.sidtpu_num_sites(res)
+        blob = lib.sidtpu_chrom_blob(res)
+        chrom_table = blob.decode("latin1").split("\n") if blob else []
+        batch = PileupBatch(
+            chrom_id=_as_array(lib.sidtpu_chrom_id, res, ctypes.c_int32, n, np.int32),
+            chrom_table=chrom_table,
+            pos=_as_array(lib.sidtpu_pos, res, ctypes.c_int32, n, np.int32),
+            ref_base=_as_array(lib.sidtpu_ref_base, res, ctypes.c_uint8, n, np.uint8),
+            counts=_as_array(
+                lib.sidtpu_counts, res, ctypes.c_uint16, n * 4, np.uint16
+            ).reshape(-1, 4),
+            errors=errors,
+        )
+        if with_reads:
+            r = lib.sidtpu_num_reads(res)
+            batch.read_offsets = _as_array(
+                lib.sidtpu_read_offsets, res, ctypes.c_int64, n + 1, np.int64
+            )
+            batch.read_code = _as_array(lib.sidtpu_read_code, res, ctypes.c_int8, r, np.int8)
+            batch.read_strand = _as_array(lib.sidtpu_read_strand, res, ctypes.c_uint8, r, np.uint8)
+            batch.read_bq = _as_array(lib.sidtpu_read_bq, res, ctypes.c_uint8, r, np.uint8)
+            batch.read_mq = _as_array(lib.sidtpu_read_mq, res, ctypes.c_uint8, r, np.uint8)
+        return batch
+    finally:
+        lib.sidtpu_free(res)
+
+
+def _configure_writer(lib):
+    if getattr(lib, "_sidtpu_writer_configured", False):
+        return
+    lib.sidtpu_write_csv.restype = ctypes.c_int64
+    lib.sidtpu_write_csv.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+    ]
+    lib.sidtpu_buffer_free.restype = None
+    lib.sidtpu_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    lib._sidtpu_writer_configured = True

@@ -1,0 +1,114 @@
+"""Native C++ parser vs the Python reference-grammar parser.
+
+Property tests: both backends must produce identical PileupBatch tensors on
+arbitrary input, including malformed lines and quality pairing shifts.
+"""
+
+import numpy as np
+import pytest
+
+from sid_tpu.io import native
+from sid_tpu.io.pileup import parse_pileup
+from sid_tpu.utils.errors import SidParseError
+
+from synth import make_pileup_text, simulate_diploid_counts
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="libsidtpu not built"
+)
+
+
+def both(text, bq=False, mq=False, strict=True):
+    py = parse_pileup(text, bq, mq, backend="python", strict=strict)
+    nat = parse_pileup(text, bq, mq, backend="native", strict=strict)
+    return py, nat
+
+
+def assert_batches_equal(py, nat, with_reads=False):
+    assert nat.chrom_table == py.chrom_table
+    np.testing.assert_array_equal(nat.chrom_id, py.chrom_id)
+    np.testing.assert_array_equal(nat.pos, py.pos)
+    np.testing.assert_array_equal(nat.ref_base, py.ref_base)
+    np.testing.assert_array_equal(nat.counts, py.counts)
+    if with_reads:
+        np.testing.assert_array_equal(nat.read_offsets, py.read_offsets)
+        np.testing.assert_array_equal(nat.read_code, py.read_code)
+        np.testing.assert_array_equal(nat.read_strand, py.read_strand)
+        np.testing.assert_array_equal(nat.read_bq, py.read_bq)
+        np.testing.assert_array_equal(nat.read_mq, py.read_mq)
+
+
+class TestNativeParity:
+    def test_simulated(self):
+        counts = simulate_diploid_counts(400, coverage=25)
+        text = make_pileup_text(counts, with_qualities=True)
+        py, nat = both(text, True, True)
+        assert_batches_equal(py, nat, with_reads=True)
+
+    def test_counts_only(self):
+        counts = simulate_diploid_counts(200, coverage=15, seed=3)
+        text = make_pileup_text(counts)
+        py, nat = both(text)
+        assert_batches_equal(py, nat)
+
+    def test_grammar_soup(self):
+        text = (
+            b"chr1\t1\tA\t6\t..,.^Ig$Tt+3acg-2tt*\tIIIIII\tJJJJJJ\n"
+            b"\n"
+            b"chr2\t2\tN\t4\t.,Nn<>\tIIII\tJJJJ\n"
+            b"chrX  7  g  3  .,-1a  ABC  DEF\n"
+            b"chr1\t99\tc\t2\t,+12AC\tII\tJJ\n"
+        )
+        py, nat = both(text, True, True)
+        assert_batches_equal(py, nat, with_reads=True)
+
+    def test_quality_pairing_shift(self):
+        # '*' consumes a quality slot but no base: pairing shifts identically
+        text = b"c\t1\tA\t4\t.*..\tABCD\tEFGH\n"
+        py, nat = both(text, True, True)
+        assert_batches_equal(py, nat, with_reads=True)
+
+    def test_multi_chromosome_order(self):
+        text = (
+            b"beta\t1\tA\t1\t.\n" b"alpha\t2\tC\t1\t.\n" b"beta\t3\tG\t1\t.\n"
+        )
+        py, nat = both(text)
+        assert py.chrom_table == ["beta", "alpha"]
+        assert_batches_equal(py, nat)
+
+    def test_many_chromosomes_threading(self):
+        # enough lines to exercise multiple threads and chrom-id remapping
+        rng = np.random.default_rng(0)
+        lines = []
+        for i in range(5000):
+            chrom = f"chr{rng.integers(1, 23)}"
+            lines.append(f"{chrom}\t{i+1}\tA\t2\t.,".encode())
+        text = b"\n".join(lines) + b"\n"
+        py, nat = both(text)
+        assert_batches_equal(py, nat)
+
+    def test_strict_raises(self):
+        text = b"chr1\t1\tA\t1\t.\n" b"badline\n"
+        with pytest.raises(SidParseError):
+            parse_pileup(text, backend="native", strict=True)
+
+    def test_nonstrict_collects(self):
+        text = b"chr1\t1\tA\t1\t.\n" b"badline\n" b"chr1\t2\tC\t1\t.\n"
+        nat = parse_pileup(text, backend="native", strict=False)
+        assert nat.num_sites == 2
+        assert len(nat.errors.records) == 1
+        assert nat.errors.records[0].line_number == 2
+
+    def test_no_trailing_newline(self):
+        text = b"chr1\t1\tA\t1\t."
+        py, nat = both(text)
+        assert_batches_equal(py, nat)
+
+    def test_empty_input(self):
+        py, nat = both(b"")
+        assert nat.num_sites == 0
+        assert_batches_equal(py, nat)
+
+    def test_auto_backend_prefers_native(self):
+        b = parse_pileup(b"c\t1\tA\t1\t.\n", backend="auto")
+        assert b.num_sites == 1
