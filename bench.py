@@ -29,7 +29,7 @@ def log(msg):
 def generate(n_sites):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     import numpy as np
-    from synth import make_pileup_text
+    from synth import make_pileup_text_fast
 
     rng = np.random.default_rng(7)
     # fast vectorized simulation (pi=1e-3, eps=1e-2, ~30x)
@@ -48,7 +48,7 @@ def generate(n_sites):
     counts[het_idx, second] += half
     err_base = rng.integers(0, 4, n_sites)
     counts[np.arange(n_sites), err_base] += n_err
-    return make_pileup_text(counts.astype(np.int32))
+    return make_pileup_text_fast(counts.astype(np.int32))
 
 
 def measure_baseline(pileup_path):
@@ -79,8 +79,11 @@ def main():
         f.write(text)
 
     opts = Options(method="local")
-    # warmup (compile cache)
-    engine.run(text[: 2 ** 16], opts)
+    # warmup with the same input so all kernel shapes are compile-cached
+    log("  warmup (compilation)...")
+    t0 = time.time()
+    engine.run(text, opts)
+    log(f"  warmup: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     csv = engine.run(text, opts)

@@ -21,9 +21,23 @@ digits (C++ default ostream precision, call.hpp:29-38) and the engine computes
 in f64 log-space to clear that bar.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# persistent XLA compilation cache: first TPU compile through the remote
+# tunnel is minutes; cached recompiles are milliseconds
+_cache_dir = _os.environ.get(
+    "SIDTPU_XLA_CACHE", _os.path.join(_os.path.expanduser("~"), ".cache", "sid_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is best-effort
+    pass
 
 __version__ = "0.1.0"
 

@@ -67,6 +67,14 @@ class CallResult:
     conf_hom: np.ndarray  # (M,) float64
     conf_het: np.ndarray  # (M,) float64
     conf_type: str  # "p_value" | "probability"
+    # optional per-unique-profile payload: when present, the serializer
+    # formats each class once and joins via class_idx (M,) -> class row
+    class_idx: Optional[np.ndarray] = None
+    cls_is_het: Optional[np.ndarray] = None
+    cls_major: Optional[np.ndarray] = None
+    cls_second: Optional[np.ndarray] = None
+    cls_conf_hom: Optional[np.ndarray] = None
+    cls_conf_het: Optional[np.ndarray] = None
 
     @property
     def num_records(self) -> int:
@@ -122,27 +130,34 @@ class CallResult:
         blob = "\n".join(self.chrom_table).encode("latin1")
         chrom_id = np.ascontiguousarray(self.chrom_id, np.int32)
         pos = np.ascontiguousarray(self.pos, np.int32)
-        is_het = np.ascontiguousarray(self.is_het, np.uint8)
-        major = np.ascontiguousarray(self.major, np.int32)
-        second = np.ascontiguousarray(self.second, np.int32)
-        ch = np.ascontiguousarray(self.conf_hom, np.float64)
-        ct = np.ascontiguousarray(self.conf_het, np.float64)
         out = ctypes.POINTER(ctypes.c_char)()
-        length = lib.sidtpu_write_csv(
-            blob,
-            chrom_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            is_het.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            major.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            second.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            ct.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            self.conf_type.encode(),
-            n,
-            int(include_header),
-            0,
-            ctypes.byref(out),
-        )
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        f64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        if self.class_idx is not None:
+            cls_is_het = np.ascontiguousarray(self.cls_is_het, np.uint8)
+            cls_major = np.ascontiguousarray(self.cls_major, np.int32)
+            cls_second = np.ascontiguousarray(self.cls_second, np.int32)
+            cls_ch = np.ascontiguousarray(self.cls_conf_hom, np.float64)
+            cls_ct = np.ascontiguousarray(self.cls_conf_het, np.float64)
+            length = lib.sidtpu_write_csv_indexed(
+                blob, i32p(chrom_id), i32p(pos), i32p(self.class_idx), n,
+                u8p(cls_is_het), i32p(cls_major), i32p(cls_second),
+                f64p(cls_ch), f64p(cls_ct), cls_ch.shape[0],
+                self.conf_type.encode(), int(include_header), 0,
+                ctypes.byref(out),
+            )
+        else:
+            is_het = np.ascontiguousarray(self.is_het, np.uint8)
+            major = np.ascontiguousarray(self.major, np.int32)
+            second = np.ascontiguousarray(self.second, np.int32)
+            ch = np.ascontiguousarray(self.conf_hom, np.float64)
+            ct = np.ascontiguousarray(self.conf_het, np.float64)
+            length = lib.sidtpu_write_csv(
+                blob, i32p(chrom_id), i32p(pos), u8p(is_het), i32p(major),
+                i32p(second), f64p(ch), f64p(ct), self.conf_type.encode(),
+                n, int(include_header), 0, ctypes.byref(out),
+            )
         try:
             return ctypes.string_at(out, length).decode("latin1")
         finally:
@@ -177,14 +192,25 @@ def gather_result(
     else:
         chrom_id = batch.chrom_id
         pos = batch.pos
+    is_het_u = np.asarray(is_het_u)
+    major_u = np.asarray(major_u)
+    second_u = np.asarray(second_u)
+    p1_u = np.asarray(p1_u, np.float64)
+    p2_u = np.asarray(p2_u, np.float64)
     return CallResult(
         chrom_id=chrom_id,
         chrom_table=batch.chrom_table,
         pos=pos,
-        is_het=np.asarray(is_het_u)[inverse],
-        major=np.asarray(major_u)[inverse],
-        second=np.asarray(second_u)[inverse],
-        conf_hom=np.asarray(p1_u, np.float64)[inverse],
-        conf_het=np.asarray(p2_u, np.float64)[inverse],
+        is_het=is_het_u[inverse],
+        major=major_u[inverse],
+        second=second_u[inverse],
+        conf_hom=p1_u[inverse],
+        conf_het=p2_u[inverse],
         conf_type=conf_type,
+        class_idx=np.ascontiguousarray(inverse, np.int32),
+        cls_is_het=is_het_u,
+        cls_major=major_u,
+        cls_second=second_u,
+        cls_conf_hom=p1_u,
+        cls_conf_het=p2_u,
     )

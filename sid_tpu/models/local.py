@@ -23,7 +23,7 @@ import numpy as np
 from sid_tpu.config import Options
 from sid_tpu.models import common
 from sid_tpu.ops import likelihoods, stats
-from sid_tpu.ops.lgamma import lgamma_int_table
+from sid_tpu.ops.lgamma import lgamma_int_table, table_size
 from sid_tpu.ops.profiles import unique_profiles
 from sid_tpu.utils.padding import pad_axis0
 
@@ -89,7 +89,7 @@ def call_local(batch, options: Options, diag=None) -> common.CallResult:
         snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
 
     max_cov = int(profiles.sum(-1).max())
-    tab = jnp.asarray(lgamma_int_table(max_cov + 2))
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     padded = pad_axis0(profiles)
     prof_dev = jnp.asarray(padded)
     if options.mesh_devices is not None:

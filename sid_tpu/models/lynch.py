@@ -19,7 +19,7 @@ import numpy as np
 
 from sid_tpu.config import Options
 from sid_tpu.ops import likelihoods
-from sid_tpu.ops.lgamma import lgamma_int_table
+from sid_tpu.ops.lgamma import lgamma_int_table, table_size
 from sid_tpu.ops.nmsimplex import NmResult, minimize_nmsimplex2_jax
 from sid_tpu.ops.profiles import filter_min_coverage, nucleotide_distribution, unique_profiles
 from sid_tpu.utils.padding import pad_axis0
@@ -67,7 +67,7 @@ def fit_on_filtered_profiles(
     """
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if profiles.shape[0] else 0
-    tab = jnp.asarray(lgamma_int_table(max_cov + 2))
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     u = profiles.shape[0]
     prof_pad = pad_axis0(np.asarray(profiles, np.int32))
     mult_pad = pad_axis0(np.asarray(mult, np.int64))

@@ -21,7 +21,7 @@ import numpy as np
 from sid_tpu.config import Options
 from sid_tpu.models import common
 from sid_tpu.ops import stats
-from sid_tpu.ops.lgamma import lgamma_int_table
+from sid_tpu.ops.lgamma import lgamma_int_table, table_size
 from sid_tpu.ops.profiles import unique_profiles
 from sid_tpu.utils.padding import pad_axis0
 
@@ -98,7 +98,7 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     minq_p = pad_axis0(minq)
 
     max_cov = int(batch.counts.sum(-1).max()) if n else 0
-    tab = jnp.asarray(lgamma_int_table(2 * max_cov + 2))
+    tab = jnp.asarray(lgamma_int_table(table_size(2 * max_cov)))
 
     counts_dev = jnp.asarray(counts)
     reads_dev = [

@@ -111,4 +111,29 @@ def _configure_writer(lib):
     ]
     lib.sidtpu_buffer_free.restype = None
     lib.sidtpu_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+    _configure_writer_indexed(lib)
     lib._sidtpu_writer_configured = True
+
+
+def _configure_writer_indexed(lib):
+    if getattr(lib, "_sidtpu_writer_idx_configured", False):
+        return
+    lib.sidtpu_write_csv_indexed.restype = ctypes.c_int64
+    lib.sidtpu_write_csv_indexed.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+    ]
+    lib._sidtpu_writer_idx_configured = True

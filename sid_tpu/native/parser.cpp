@@ -476,3 +476,98 @@ int64_t sidtpu_write_csv(const char* chrom_blob, const int32_t* chrom_id,
 void sidtpu_buffer_free(char* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Indexed CSV writer: per-profile classifications joined to sites.
+//
+// For the profile-deduplicated methods (local/bayes/likelihood_ratio) the
+// label/genotype/confidence columns depend only on the site's unique profile,
+// so the expensive "%g" formatting runs once per *class* (U ~ 10^3..10^5) and
+// each row is assembled as chrom,pos + a memcpy of the class suffix.
+
+extern "C" {
+
+int64_t sidtpu_write_csv_indexed(
+    const char* chrom_blob, const int32_t* chrom_id, const int32_t* pos,
+    const int32_t* class_idx, int64_t n, const uint8_t* cls_is_het,
+    const int32_t* cls_major, const int32_t* cls_second,
+    const double* cls_conf_hom, const double* cls_conf_het, int64_t n_cls,
+    const char* conf_type, int with_header, int n_threads, char** out) {
+  std::vector<std::string> chroms;
+  {
+    const char* p = chrom_blob;
+    const char* s = p;
+    for (;; ++p) {
+      if (*p == '\n' || *p == '\0') {
+        if (p > s || *p == '\n') chroms.emplace_back(s, static_cast<size_t>(p - s));
+        if (*p == '\0') break;
+        s = p + 1;
+      }
+    }
+  }
+  // pre-format per-class suffix: ",label,gt,hom_conf,het_conf,conf_type\n"
+  std::vector<std::string> suffix(static_cast<size_t>(n_cls));
+  {
+    char num[64];
+    for (int64_t c = 0; c < n_cls; ++c) {
+      std::string& s = suffix[static_cast<size_t>(c)];
+      bool het = cls_is_het[c] != 0;
+      s += het ? ",het," : ",hom,";
+      char a = kAlleles[cls_major[c] & 3];
+      s += a;
+      s += het ? kAlleles[cls_second[c] & 3] : a;
+      s += ',';
+      snprintf(num, sizeof num, "%g", cls_conf_hom[c]);
+      s += num;
+      s += ',';
+      snprintf(num, sizeof num, "%g", cls_conf_het[c]);
+      s += num;
+      s += ',';
+      s += conf_type;
+      s += '\n';
+    }
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 4);
+  if (nt > 64) nt = 64;
+  if (static_cast<int64_t>(nt) > n) nt = n > 0 ? static_cast<int>(n) : 1;
+
+  std::vector<std::string> parts(static_cast<size_t>(nt));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    int64_t begin = n * t / nt;
+    int64_t end = n * (t + 1) / nt;
+    threads.emplace_back([&, t, begin, end]() {
+      std::string& o = parts[static_cast<size_t>(t)];
+      o.reserve(static_cast<size_t>((end - begin) * 48));
+      char num[16];
+      for (int64_t i = begin; i < end; ++i) {
+        o += chroms[static_cast<size_t>(chrom_id[i])];
+        o += ',';
+        int len = snprintf(num, sizeof num, "%d", pos[i]);
+        o.append(num, static_cast<size_t>(len));
+        o += suffix[static_cast<size_t>(class_idx[i])];
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  static const char kHeader2[] = "chrom,pos,label,gt,hom_conf,het_conf,conf_type\n";
+  size_t total = with_header ? sizeof(kHeader2) - 1 : 0;
+  for (auto& p : parts) total += p.size();
+  char* buf = static_cast<char*>(malloc(total + 1));
+  char* w = buf;
+  if (with_header) {
+    memcpy(w, kHeader2, sizeof(kHeader2) - 1);
+    w += sizeof(kHeader2) - 1;
+  }
+  for (auto& p : parts) {
+    memcpy(w, p.data(), p.size());
+    w += p.size();
+  }
+  *w = '\0';
+  *out = buf;
+  return static_cast<int64_t>(total);
+}
+
+}  // extern "C"

@@ -23,3 +23,16 @@ def lgamma_int_table(max_arg: int) -> np.ndarray:
     t = gammaln(ks)
     t[0] = 0.0
     return t
+
+
+def table_size(max_arg: int, minimum: int = 1024) -> int:
+    """Stable (power-of-two, floored) table length covering max_arg + 2.
+
+    Keeping the table shape in a small set of buckets means XLA compiles the
+    kernels once per bucket, not once per dataset.
+    """
+    need = max_arg + 2
+    b = minimum
+    while b < need:
+        b *= 2
+    return b

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from sid_tpu.models.lynch import fit_lynch
-from sid_tpu.ops.lgamma import lgamma_int_table
+from sid_tpu.ops.lgamma import lgamma_int_table, table_size
 from sid_tpu.ops.profiles import nucleotide_distribution
 from sid_tpu.parallel.mesh import shard_profiles
 from sid_tpu.utils.padding import bucket_size
@@ -42,7 +42,7 @@ def fit_lynch_global(
     n_dev = int(np.prod(mesh.devices.shape))
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if u else 0
-    tab = jnp.asarray(lgamma_int_table(max_cov + 2))
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
 
     # pad to a bucket divisible by the mesh size; zero-mult rows are inert
     b = bucket_size(max(u, 1))

@@ -68,3 +68,20 @@ def simulate_diploid_counts(
             probs[a] = 1 - eps
         counts[s] = rng.multinomial(covs[s], probs)
     return counts
+
+
+def make_pileup_text_fast(counts: np.ndarray, chrom: str = "chr1") -> bytes:
+    """Fast pileup text for benchmarks: plain base letters, constant quals."""
+    counts = np.asarray(counts)
+    parts = []
+    base_strs = ["A", "C", "G", "T"]
+    for s in range(counts.shape[0]):
+        c = counts[s]
+        cov = int(c.sum())
+        bases = (
+            base_strs[0] * int(c[0]) + base_strs[1] * int(c[1])
+            + base_strs[2] * int(c[2]) + base_strs[3] * int(c[3])
+        ) or "*"
+        q = "I" * max(cov, 1)
+        parts.append(f"{chrom}\t{s+1}\tN\t{cov}\t{bases}\t{q}\t{q}")
+    return ("\n".join(parts) + "\n").encode()
