@@ -39,6 +39,11 @@ _LONG_OPTIONS = [
     ("output=", "Output CSV path ('-' = stdout, default)"),
     ("devices=", "Number of mesh devices for the site axis (default: all local)"),
     ("per-shard-fit", "Fit the Lynch model per shard (reference-script semantics) instead of globally"),
+    ("stream", "Two-pass streaming mode: memory bounded by --chunk-mb, identical output"),
+    ("chunk-mb=", "Streaming chunk size in MB (default 64)"),
+    ("profile", "Print per-stage timing report to stderr"),
+    ("checkpoint=", "Persist/reuse the pass-1 histogram (.npz) in streaming mode"),
+    ("resume", "Resume a streaming run: reuse checkpoint + continue pass 2 (file output only)"),
     ("help", "Print this help message"),
 ]
 
@@ -106,6 +111,16 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opts.mesh_devices = int(value)
         elif flag == "--per-shard-fit":
             opts.per_shard_fit = True
+        elif flag == "--stream":
+            opts.stream = True
+        elif flag == "--chunk-mb":
+            opts.chunk_mb = int(value)
+        elif flag == "--profile":
+            opts.profile = True
+        elif flag == "--checkpoint":
+            opts.checkpoint = value
+        elif flag == "--resume":
+            opts.resume = True
 
     if not rest:
         print("No file name given!", file=sys.stderr)
@@ -126,19 +141,47 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.exit(1)
 
     from sid_tpu import engine
+    from sid_tpu.utils.profiling import StageProfile, activate
 
     def diag(line: str) -> None:
         if options.diagnostics:
             print(line, file=sys.stderr)
 
-    with f:
-        csv = engine.run(f, options, diag)
+    prof = StageProfile(enabled=options.profile)
+    activate(prof if options.profile else None)
 
-    if options.output in ("-", ""):
-        sys.stdout.write(csv)
+    if options.stream:
+        f.close()
+        if options.output in ("-", ""):
+            n = engine.run_streaming(
+                input_path, options, sys.stdout, diag,
+                chunk_bytes=options.chunk_mb << 20,
+                checkpoint=options.checkpoint, resume=options.resume,
+            )
+        else:
+            from sid_tpu.utils.checkpoint import StreamProgress
+
+            mode = "r+" if options.resume and __import__("os").path.exists(options.output) else "w"
+            with open(options.output, mode) as out:
+                n = engine.run_streaming(
+                    input_path, options, out, diag,
+                    chunk_bytes=options.chunk_mb << 20,
+                    checkpoint=options.checkpoint, resume=options.resume,
+                    progress=StreamProgress(options.output),
+                )
+        prof.count("sites", n)
     else:
-        with open(options.output, "w") as out:
-            out.write(csv)
+        with f:
+            csv = engine.run(f, options, diag)
+        prof.count("sites", max(csv.count("\n") - 1, 0))
+        if options.output in ("-", ""):
+            sys.stdout.write(csv)
+        else:
+            with open(options.output, "w") as out:
+                out.write(csv)
+    if options.profile:
+        prof.report(log=lambda l: print(l, file=sys.stderr))
+        activate(None)
     return 0
 
 

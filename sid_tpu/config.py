@@ -43,6 +43,14 @@ class Options:
     diagnostics: bool = True
     # output path ("-" = stdout)
     output: str = "-"
+    # streaming two-pass mode (memory bounded by chunk_mb)
+    stream: bool = False
+    chunk_mb: int = 64
+    # per-stage timing report
+    profile: bool = False
+    # streaming checkpoint/resume
+    checkpoint: Optional[str] = None
+    resume: bool = False
 
     def validate(self) -> None:
         if self.method not in ("local", "bayes", "likelihood_ratio", "quality", ""):

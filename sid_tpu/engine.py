@@ -70,3 +70,159 @@ def run(
 
         return CSV_HEADER + "\n"
     return result.to_csv()
+
+
+def run_streaming(
+    src,
+    options: Optional[Options] = None,
+    out=None,
+    diag: Optional[Callable[[str], None]] = None,
+    chunk_bytes: int = 64 << 20,
+    checkpoint: Optional[str] = None,
+    resume: bool = False,
+    progress=None,
+) -> int:
+    """Memory-bounded whole-genome calling (BASELINE config 4).
+
+    Two-pass pipeline: pass 1 folds chunks into the unique-profile histogram
+    (the fit's sufficient statistic), the per-class classification table is
+    computed once globally, pass 2 re-parses chunk-by-chunk and appends CSV
+    rows joined through a packed-key binary search. Output semantics are
+    identical to the in-memory path (including the global BH correction and
+    cov>=4 omission). Returns the number of emitted records.
+
+    ``checkpoint`` persists the pass-1 histogram (.npz) so re-runs with
+    ``resume=True`` skip the first full parse; ``progress`` (a
+    StreamProgress) adds chunk-level pass-2 resume for file outputs.
+    ``out`` is a binary or text file object (default: stdout).
+    """
+    import sys
+    import os as _os
+
+    import numpy as np
+
+    from sid_tpu.io.stream import accumulate_histogram, iter_chunks, pack_profiles
+    from sid_tpu.io.pileup import parse_pileup
+    from sid_tpu.models import common
+    from sid_tpu.ops.profiles import filter_min_coverage
+    from sid_tpu.utils import profiling
+
+    if not isinstance(src, (str, bytes, _os.PathLike)):
+        raise TypeError("run_streaming needs a re-readable source (path or bytes)")
+    options = options or Options()
+    out = out or sys.stdout
+    write = (lambda s: out.write(s.encode())) if "b" in getattr(out, "mode", "") else out.write
+    method = options.method
+
+    start_chunk = 0
+    if progress is not None and resume:
+        start_chunk, bytes_written = progress.load()
+        if start_chunk > 0:
+            out.seek(bytes_written)
+            out.truncate()
+    if start_chunk == 0:
+        write(common.CSV_HEADER + "\n")
+    if method not in ("local", "bayes", "likelihood_ratio", "quality"):
+        return 0  # header-only, like the reference's unknown-method path
+
+    needs_reads = method == "quality"
+    emitted = 0
+
+    # ---- pass 1: histogram (skipped for quality without -R) ----
+    def histogram():
+        if checkpoint and resume:
+            from sid_tpu.utils.checkpoint import load_fit_state
+
+            state = load_fit_state(checkpoint)
+            if state is not None:
+                return state["profiles"], state["mult"]
+        with profiling.maybe_stage("histogram"):
+            profiles, mult, _ = accumulate_histogram(src, chunk_bytes, options.io_backend)
+        if checkpoint:
+            from sid_tpu.utils.checkpoint import save_fit_state
+
+            save_fit_state(checkpoint, profiles, mult)
+        return profiles, mult
+
+    cls = None
+    keys = None
+    conf_type = "p_value"
+    snp_prior = options.snp_prior
+    if method == "quality":
+        if options.estimate_prior:
+            from sid_tpu.models.lynch import estimate_prior_heterozygosity
+
+            profiles, mult = histogram()
+            snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
+    else:
+        profiles, mult = histogram()
+        with profiling.maybe_stage("fit+classify"):
+            if method == "local":
+                if options.estimate_prior:
+                    from sid_tpu.models.lynch import estimate_prior_heterozygosity
+
+                    snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
+                from sid_tpu.models.local import classify_profiles_local
+
+                cls = classify_profiles_local(
+                    profiles, options, snp_prior, options.mesh_devices
+                )
+                keys = pack_profiles(profiles)
+            else:
+                fprof, fmult, _ = filter_min_coverage(profiles, mult, 4)
+                if method == "bayes":
+                    from sid_tpu.models.bayes import classify_profiles_bayes
+
+                    cls = classify_profiles_bayes(fprof, fmult, options, diag)
+                    conf_type = "probability"
+                else:
+                    from sid_tpu.models.likelihood_ratio import classify_profiles_lr
+
+                    cls = classify_profiles_lr(fprof, fmult, options, diag)
+                keys = pack_profiles(fprof)
+
+    # ---- pass 2: classify/join chunk by chunk ----
+    for chunk_no, chunk in enumerate(iter_chunks(src, chunk_bytes)):
+        if chunk_no < start_chunk:
+            continue
+        batch = parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend)
+        if batch.num_sites == 0:
+            continue
+        if method == "quality":
+            from sid_tpu.models.quality import call_quality
+
+            import dataclasses as _dc
+
+            opts = _dc.replace(options, estimate_prior=False, snp_prior=snp_prior)
+            res = call_quality(batch, opts)
+        else:
+            site_keys = pack_profiles(batch.counts)
+            idx = np.searchsorted(keys, site_keys)
+            idx_c = np.minimum(idx, max(len(keys) - 1, 0))
+            found = keys[idx_c] == site_keys if len(keys) else np.zeros(len(site_keys), bool)
+            class_idx = idx_c[found].astype(np.int32)
+            res = common.CallResult(
+                chrom_id=batch.chrom_id[found],
+                chrom_table=batch.chrom_table,
+                pos=batch.pos[found],
+                is_het=cls[0][class_idx],
+                major=cls[1][class_idx],
+                second=cls[2][class_idx],
+                conf_hom=np.asarray(cls[3], np.float64)[class_idx],
+                conf_het=np.asarray(cls[4], np.float64)[class_idx],
+                conf_type=conf_type,
+                class_idx=class_idx,
+                cls_is_het=cls[0],
+                cls_major=cls[1],
+                cls_second=cls[2],
+                cls_conf_hom=np.asarray(cls[3], np.float64),
+                cls_conf_het=np.asarray(cls[4], np.float64),
+            )
+        write(res.to_csv(include_header=False))
+        emitted += res.num_records
+        if progress is not None:
+            out.flush()
+            progress.save(chunk_no + 1, out.tell())
+    if progress is not None:
+        progress.finish()
+    return emitted

@@ -1,0 +1,103 @@
+"""Chunked streaming input: newline-aligned byte chunks + histogram pass.
+
+The reference materializes the whole pileup in RAM (call.cpp:11-20). For
+whole-genome runs the framework streams instead: pass 1 folds each chunk
+into the unique-profile histogram (the Lynch fit's sufficient statistic);
+pass 2 re-parses chunk-by-chunk, classifies, and appends CSV — memory is
+bounded by the chunk size, not the genome.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+from typing import Iterator, Optional, Tuple, Union
+
+import numpy as np
+
+from sid_tpu.io.pileup import parse_pileup
+
+DEFAULT_CHUNK_BYTES = 64 << 20
+
+
+def iter_chunks(
+    src: Union[str, os.PathLike, _io.IOBase, bytes],
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> Iterator[bytes]:
+    """Yield newline-aligned byte chunks from a path, stream, or buffer."""
+    if isinstance(src, bytes):
+        stream: _io.IOBase = _io.BytesIO(src)
+        close = False
+    elif isinstance(src, (str, os.PathLike)):
+        stream = open(src, "rb")
+        close = True
+    else:
+        stream = src
+        close = False
+    try:
+        carry = b""
+        while True:
+            block = stream.read(chunk_bytes)
+            if not block:
+                if carry:
+                    yield carry
+                return
+            if isinstance(block, str):
+                block = block.encode()
+            data = carry + block
+            cut = data.rfind(b"\n")
+            if cut < 0:
+                carry = data
+                continue
+            yield data[: cut + 1]
+            carry = data[cut + 1 :]
+    finally:
+        if close:
+            stream.close()
+
+
+def pack_profiles(profiles: np.ndarray) -> np.ndarray:
+    """(U,4) counts -> order-preserving uint64 keys."""
+    c = np.asarray(profiles, np.uint64)
+    return (c[:, 0] << 48) | (c[:, 1] << 32) | (c[:, 2] << 16) | c[:, 3]
+
+
+def unpack_profiles(keys: np.ndarray) -> np.ndarray:
+    prof = np.empty((keys.shape[0], 4), np.int32)
+    prof[:, 0] = (keys >> 48) & 0xFFFF
+    prof[:, 1] = (keys >> 32) & 0xFFFF
+    prof[:, 2] = (keys >> 16) & 0xFFFF
+    prof[:, 3] = keys & 0xFFFF
+    return prof
+
+
+def accumulate_histogram(
+    src,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    backend: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pass 1: merge per-chunk unique-profile histograms.
+
+    Returns (profiles (U,4) sorted, mult (U,), total_sites).
+    """
+    keys_acc: Optional[np.ndarray] = None
+    mult_acc: Optional[np.ndarray] = None
+    total = 0
+    for chunk in iter_chunks(src, chunk_bytes):
+        batch = parse_pileup(chunk, backend=backend)
+        total += batch.num_sites
+        if batch.num_sites == 0:
+            continue
+        keys = pack_profiles(batch.counts)
+        uniq, mult = np.unique(keys, return_counts=True)
+        if keys_acc is None:
+            keys_acc, mult_acc = uniq, mult.astype(np.int64)
+        else:
+            merged = np.concatenate([keys_acc, uniq])
+            weights = np.concatenate([mult_acc, mult.astype(np.int64)])
+            keys_acc, inv = np.unique(merged, return_inverse=True)
+            mult_acc = np.zeros(keys_acc.shape[0], np.int64)
+            np.add.at(mult_acc, inv, weights)
+    if keys_acc is None:
+        return np.zeros((0, 4), np.int32), np.zeros(0, np.int64), 0
+    return unpack_profiles(keys_acc), mult_acc, total

@@ -16,9 +16,8 @@ from sid_tpu.models.lynch import fit_profiles
 from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
 
 
-def call_bayes(batch, options: Options, diag=None) -> common.CallResult:
-    profiles, mult, inverse = unique_profiles(batch.counts)
-    profiles, mult, keep = filter_min_coverage(profiles, mult, 4)
+def classify_profiles_bayes(profiles, mult, options: Options, diag=None):
+    """Per-class posterior classification on (filtered) profiles."""
     if diag:
         diag(f"# unique profiles: {profiles.shape[0]}")
     pi, eps, log_l_hom, log_l_het, _ = fit_profiles(profiles, mult, options, diag)
@@ -41,8 +40,13 @@ def call_bayes(batch, options: Options, diag=None) -> common.CallResult:
         prob_het = wt / denom
         is_het = prob_het > prob_hom
     major, second = common.major_allele_indices_np(profiles)
+    return is_het, major, second, prob_hom, prob_het
 
+
+def call_bayes(batch, options: Options, diag=None) -> common.CallResult:
+    profiles, mult, inverse = unique_profiles(batch.counts)
+    profiles, mult, keep = filter_min_coverage(profiles, mult, 4)
+    cls = classify_profiles_bayes(profiles, mult, options, diag)
     return common.gather_result(
-        batch, "probability", inverse, is_het, major, second, prob_hom, prob_het,
-        keep_u=keep,
+        batch, "probability", inverse, *cls, keep_u=keep,
     )

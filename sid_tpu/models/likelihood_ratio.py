@@ -19,9 +19,8 @@ from sid_tpu.ops import stats
 from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
 
 
-def call_likelihood_ratio(batch, options: Options, diag=None) -> common.CallResult:
-    profiles, mult, inverse = unique_profiles(batch.counts)
-    profiles, mult, keep = filter_min_coverage(profiles, mult, 4)
+def classify_profiles_lr(profiles, mult, options: Options, diag=None):
+    """Per-class LRT+BH classification on (filtered) profiles."""
     if diag:
         diag(f"# unique profiles: {profiles.shape[0]}")
     pi, eps, log_l_hom, log_l_het, _ = fit_profiles(profiles, mult, options, diag)
@@ -40,8 +39,13 @@ def call_likelihood_ratio(batch, options: Options, diag=None) -> common.CallResu
     adj_p2 = stats.adjust_benjamini_hochberg(p2)
     is_het = np.asarray(adj_p2) < options.significance_level
     major, second = common.major_allele_indices_np(profiles)
+    return is_het, major, second, np.asarray(adj_p1), np.asarray(adj_p2)
 
+
+def call_likelihood_ratio(batch, options: Options, diag=None) -> common.CallResult:
+    profiles, mult, inverse = unique_profiles(batch.counts)
+    profiles, mult, keep = filter_min_coverage(profiles, mult, 4)
+    cls = classify_profiles_lr(profiles, mult, options, diag)
     return common.gather_result(
-        batch, "p_value", inverse, is_het, major, second,
-        np.asarray(adj_p1), np.asarray(adj_p2), keep_u=keep,
+        batch, "p_value", inverse, *cls, keep_u=keep,
     )

@@ -66,6 +66,32 @@ def classify_local(
     return is_het, major, second, p1, p2
 
 
+def classify_profiles_local(
+    profiles: np.ndarray, options: Options, snp_prior: float, mesh_devices=None
+):
+    """Per-class local classification; returns 5 host arrays over U."""
+    u = profiles.shape[0]
+    max_cov = int(profiles.sum(-1).max()) if u else 0
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+    padded = pad_axis0(np.asarray(profiles, np.int32))
+    prof_dev = jnp.asarray(padded)
+    if mesh_devices is not None:
+        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+        mesh = make_site_mesh(mesh_devices)
+        n_dev = int(np.prod(mesh.devices.shape))
+        if padded.shape[0] % n_dev == 0:
+            prof_dev = jax.device_put(padded, row_sharding(mesh, 2))
+    out = classify_local(
+        prof_dev,
+        jnp.float64(options.site_error_threshold),
+        jnp.float64(options.significance_level),
+        jnp.float64(snp_prior),
+        tab,
+    )
+    return tuple(np.asarray(o)[:u] for o in out)
+
+
 def call_local(batch, options: Options, diag=None) -> common.CallResult:
     """End-to-end ``local`` call on a parsed batch (device compute path)."""
     profiles, mult, inverse = unique_profiles(batch.counts)
@@ -88,31 +114,5 @@ def call_local(batch, options: Options, diag=None) -> common.CallResult:
 
         snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
 
-    max_cov = int(profiles.sum(-1).max())
-    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
-    padded = pad_axis0(profiles)
-    prof_dev = jnp.asarray(padded)
-    if options.mesh_devices is not None:
-        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
-
-        mesh = make_site_mesh(options.mesh_devices)
-        n_dev = int(np.prod(mesh.devices.shape))
-        if padded.shape[0] % n_dev == 0:
-            prof_dev = jax.device_put(padded, row_sharding(mesh, 2))
-    is_het, major, second, p1, p2 = classify_local(
-        prof_dev,
-        jnp.float64(options.site_error_threshold),
-        jnp.float64(options.significance_level),
-        jnp.float64(snp_prior),
-        tab,
-    )
-    return common.gather_result(
-        batch,
-        "p_value",
-        inverse,
-        np.asarray(is_het)[:u],
-        np.asarray(major)[:u],
-        np.asarray(second)[:u],
-        np.asarray(p1)[:u],
-        np.asarray(p2)[:u],
-    )
+    cls = classify_profiles_local(profiles, options, snp_prior, options.mesh_devices)
+    return common.gather_result(batch, "p_value", inverse, *cls)

@@ -1,0 +1,232 @@
+"""Multi-host scale-out: jax.distributed init, byte-range sharding, ordered merge.
+
+SURVEY §5.8: each host's CPU parses its newline-aligned byte range of the
+pileup; the unique-profile histograms are all-gathered and merged so every
+process computes the identical global fit and class table; each host writes
+its own coordinate-ordered CSV part, and the coordinator concatenates parts
+in range order. The only cross-host payloads are the tiny histograms and
+the fit scalars — the design goal is latency tolerance, not bandwidth.
+
+Single-process (num_processes=1) degenerates to the local pipeline and is
+what the unit tests exercise; real multi-host runs initialize via
+``initialize()`` on every host with the same coordinator address.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from sid_tpu.config import Options
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed bring-up (no-op when single-process env vars absent)."""
+    import jax
+
+    if coordinator_address is None and num_processes is None:
+        # rely on cluster auto-detection (TPU pod metadata) when available
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def byte_ranges(path: str, n: int) -> List[Tuple[int, int]]:
+    """Split a file into n newline-aligned (start, end) byte ranges."""
+    size = os.path.getsize(path)
+    if n <= 1 or size == 0:
+        return [(0, size)]
+    bounds = [0]
+    with open(path, "rb") as f:
+        for k in range(1, n):
+            guess = size * k // n
+            if guess <= bounds[-1]:
+                continue
+            f.seek(guess)
+            f.readline()  # advance to the next newline
+            b = f.tell()
+            if b > bounds[-1] and b < size:
+                bounds.append(b)
+    bounds.append(size)
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
+def read_range(path: str, start: int, end: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(start)
+        return f.read(end - start)
+
+
+def merge_histograms(
+    parts: List[Tuple[np.ndarray, np.ndarray]]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge (profiles, mult) histograms from all ranges/hosts."""
+    from sid_tpu.io.stream import pack_profiles, unpack_profiles
+
+    keys = np.concatenate([pack_profiles(p) for p, _ in parts]) if parts else np.zeros(0, np.uint64)
+    weights = np.concatenate([m for _, m in parts]) if parts else np.zeros(0, np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    mult = np.zeros(uniq.shape[0], np.int64)
+    np.add.at(mult, inv, weights.astype(np.int64))
+    return unpack_profiles(uniq), mult
+
+
+def allgather_histogram(
+    profiles: np.ndarray, mult: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All-gather per-host histograms across processes and merge.
+
+    Uses process_allgather over a padded fixed-size buffer (histograms are
+    small); identical merged output on every process.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return merge_histograms([(profiles, mult)])
+    from jax.experimental import multihost_utils
+
+    from sid_tpu.io.stream import pack_profiles
+
+    u = np.int64(profiles.shape[0])
+    u_all = multihost_utils.process_allgather(np.array([u]))
+    u_max = int(np.max(u_all))
+    keys = np.zeros(u_max, np.uint64)
+    keys[: int(u)] = pack_profiles(profiles)
+    mults = np.zeros(u_max, np.int64)
+    mults[: int(u)] = mult
+    keys_all = multihost_utils.process_allgather(keys)  # (P, u_max)
+    mults_all = multihost_utils.process_allgather(mults)
+    parts = []
+    from sid_tpu.io.stream import unpack_profiles
+
+    for p in range(keys_all.shape[0]):
+        k = int(u_all[p])
+        parts.append((unpack_profiles(keys_all[p, :k]), mults_all[p, :k]))
+    return merge_histograms(parts)
+
+
+def run_multihost(
+    path: str,
+    options: Options,
+    out_path: str,
+    diag=None,
+    ranges_per_process: int = 1,
+) -> Optional[str]:
+    """Data-parallel multi-host calling over byte ranges of one pileup file.
+
+    Every process: parse own range -> local histogram -> allgather+merge ->
+    identical global class table -> classify own range -> write part file.
+    Process 0 concatenates parts in range order and returns the output path.
+    """
+    import jax
+
+    from sid_tpu.io.pileup import parse_pileup
+    from sid_tpu.io.stream import pack_profiles
+    from sid_tpu.models import common
+    from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ranges = byte_ranges(path, nproc * ranges_per_process)
+    my_ranges = [r for i, r in enumerate(ranges) if i % nproc == pid]
+
+    # pass 1: local histogram over my ranges
+    local_parts = []
+    batches = []
+    for start, end in my_ranges:
+        batch = parse_pileup(read_range(path, start, end), backend=options.io_backend)
+        batches.append(batch)
+        p, m, _ = unique_profiles(batch.counts)
+        local_parts.append((p, m))
+    lp, lm = merge_histograms(local_parts)
+    profiles, mult = allgather_histogram(lp, lm)
+
+    # identical global classification table on every process
+    method = options.method
+    conf_type = "p_value"
+    if method == "local":
+        from sid_tpu.models.local import classify_profiles_local
+
+        snp_prior = options.snp_prior
+        if options.estimate_prior:
+            from sid_tpu.models.lynch import estimate_prior_heterozygosity
+
+            snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
+        cls = classify_profiles_local(profiles, options, snp_prior)
+        keys = pack_profiles(profiles)
+    elif method == "bayes":
+        from sid_tpu.models.bayes import classify_profiles_bayes
+
+        fprof, fmult, _ = filter_min_coverage(profiles, mult, 4)
+        cls = classify_profiles_bayes(fprof, fmult, options, diag)
+        keys = pack_profiles(fprof)
+        conf_type = "probability"
+    elif method == "likelihood_ratio":
+        from sid_tpu.models.likelihood_ratio import classify_profiles_lr
+
+        fprof, fmult, _ = filter_min_coverage(profiles, mult, 4)
+        cls = classify_profiles_lr(fprof, fmult, options, diag)
+        keys = pack_profiles(fprof)
+    else:
+        raise ValueError(f"run_multihost does not support method {method!r}")
+
+    # pass 2: classify own ranges, write part files
+    part_paths = []
+    for (start, _), batch in zip(my_ranges, batches):
+        site_keys = pack_profiles(batch.counts)
+        idx = np.searchsorted(keys, site_keys)
+        idx_c = np.minimum(idx, max(len(keys) - 1, 0))
+        found = keys[idx_c] == site_keys if len(keys) else np.zeros(len(site_keys), bool)
+        class_idx = idx_c[found].astype(np.int32)
+        res = common.CallResult(
+            chrom_id=batch.chrom_id[found],
+            chrom_table=batch.chrom_table,
+            pos=batch.pos[found],
+            is_het=cls[0][class_idx],
+            major=cls[1][class_idx],
+            second=cls[2][class_idx],
+            conf_hom=np.asarray(cls[3], np.float64)[class_idx],
+            conf_het=np.asarray(cls[4], np.float64)[class_idx],
+            conf_type=conf_type,
+            class_idx=class_idx,
+            cls_is_het=cls[0],
+            cls_major=cls[1],
+            cls_second=cls[2],
+            cls_conf_hom=np.asarray(cls[3], np.float64),
+            cls_conf_het=np.asarray(cls[4], np.float64),
+        )
+        part = f"{out_path}.part{start:016d}"
+        with open(part, "w") as f:
+            f.write(res.to_csv(include_header=False))
+        part_paths.append(part)
+
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sid_tpu_parts_written")
+    if pid != 0:
+        return None
+
+    # ordered merge on the coordinator
+    import glob
+
+    with open(out_path, "w") as f:
+        f.write(common.CSV_HEADER + "\n")
+        for part in sorted(glob.glob(f"{out_path}.part*")):
+            with open(part) as pf:
+                f.write(pf.read())
+            os.remove(part)
+    return out_path

@@ -1,0 +1,87 @@
+"""Checkpoint / resume: persisted fit state and restartable streaming runs.
+
+The reference's only restartability is file-level per-chromosome outputs in
+its scripts (SURVEY §5.4). Here: the pass-1 sufficient statistics (profile
+histogram, nucleotide distribution) and the fitted (pi, epsilon) persist to
+an .npz, so re-runs skip the histogram pass and the fit; streaming pass 2
+records chunk-level progress in a sidecar and resumes by truncating the
+output to the last completed chunk boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+FIT_STATE_VERSION = 1
+
+
+def save_fit_state(
+    path: str,
+    profiles: np.ndarray,
+    mult: np.ndarray,
+    pi: Optional[float] = None,
+    eps: Optional[float] = None,
+    nt: Optional[np.ndarray] = None,
+) -> None:
+    np.savez_compressed(
+        path,
+        version=FIT_STATE_VERSION,
+        profiles=np.asarray(profiles, np.int32),
+        mult=np.asarray(mult, np.int64),
+        pi=np.float64(pi if pi is not None else np.nan),
+        eps=np.float64(eps if eps is not None else np.nan),
+        nt=np.asarray(nt if nt is not None else [np.nan] * 4),
+    )
+
+
+def load_fit_state(path: str):
+    """Returns dict with profiles/mult/pi/eps/nt or None if absent."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if int(z["version"]) != FIT_STATE_VERSION:
+            return None
+        out = {
+            "profiles": z["profiles"],
+            "mult": z["mult"],
+            "pi": float(z["pi"]),
+            "eps": float(z["eps"]),
+            "nt": z["nt"],
+        }
+    if np.isnan(out["pi"]):
+        out["pi"] = None
+        out["eps"] = None
+    return out
+
+
+class StreamProgress:
+    """Sidecar tracking streaming pass-2 progress for resume."""
+
+    def __init__(self, out_path: str):
+        self.sidecar = out_path + ".progress.json"
+        self.out_path = out_path
+
+    def load(self) -> Tuple[int, int]:
+        """(chunks_done, bytes_written); (0, 0) when absent/corrupt."""
+        try:
+            with open(self.sidecar) as f:
+                d = json.load(f)
+            return int(d["chunks_done"]), int(d["bytes_written"])
+        except Exception:
+            return 0, 0
+
+    def save(self, chunks_done: int, bytes_written: int) -> None:
+        tmp = self.sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"chunks_done": chunks_done, "bytes_written": bytes_written}, f)
+        os.replace(tmp, self.sidecar)
+
+    def finish(self) -> None:
+        try:
+            os.remove(self.sidecar)
+        except OSError:
+            pass

@@ -1,0 +1,60 @@
+"""Multi-host scaffolding, exercised single-process (jax.process_count()==1)."""
+
+import numpy as np
+import pytest
+
+from sid_tpu.config import Options
+from sid_tpu import engine
+from sid_tpu.parallel.distributed import (
+    byte_ranges,
+    merge_histograms,
+    run_multihost,
+)
+
+from synth import make_pileup_text, simulate_diploid_counts
+
+
+class TestByteRanges:
+    def test_cover_file_exactly(self, tmp_path):
+        p = tmp_path / "f.txt"
+        p.write_bytes(b"".join(b"line%d\n" % i for i in range(1000)))
+        size = p.stat().st_size
+        for n in (1, 2, 3, 7):
+            ranges = byte_ranges(str(p), n)
+            assert ranges[0][0] == 0 and ranges[-1][1] == size
+            for (a, b), (c, d) in zip(ranges, ranges[1:]):
+                assert b == c
+            data = p.read_bytes()
+            for a, b in ranges[:-1]:
+                assert data[b - 1:b] == b"\n"  # newline-aligned cuts
+
+    def test_empty_file(self, tmp_path):
+        p = tmp_path / "e.txt"
+        p.write_bytes(b"")
+        assert byte_ranges(str(p), 4) == [(0, 0)]
+
+
+class TestMergeHistograms:
+    def test_merge(self):
+        p1 = np.array([[1, 0, 0, 0], [2, 0, 0, 0]], np.int32)
+        m1 = np.array([3, 4], np.int64)
+        p2 = np.array([[2, 0, 0, 0], [0, 5, 0, 0]], np.int32)
+        m2 = np.array([1, 9], np.int64)
+        prof, mult = merge_histograms([(p1, m1), (p2, m2)])
+        assert prof.tolist() == [[0, 5, 0, 0], [1, 0, 0, 0], [2, 0, 0, 0]]
+        assert mult.tolist() == [9, 3, 5]
+
+
+@pytest.mark.parametrize("method", ["local", "bayes", "likelihood_ratio"])
+def test_multihost_single_process_matches_batch(tmp_path, method):
+    counts = simulate_diploid_counts(1500, coverage=18, pi=0.03, eps=0.01)
+    text = make_pileup_text(counts)
+    src = tmp_path / "in.pileup"
+    src.write_bytes(text)
+    out = str(tmp_path / "out.csv")
+
+    want = engine.run(text, Options(method=method))
+    got_path = run_multihost(str(src), Options(method=method), out,
+                             ranges_per_process=4)
+    assert got_path == out
+    assert open(out).read() == want
