@@ -1,0 +1,219 @@
+"""Population batches: joint calling over many samples (BASELINE config 5).
+
+Two estimation modes over S samples' profile histograms:
+
+- ``independent``: S separate Lynch fits, batched on device by vmapping the
+  nmsimplex2 while-loop over the sample axis (lax.while_loop batching masks
+  converged lanes), so 100 samples cost one compiled program.
+- ``pooled`` (default): the sequencing error rate is a property of the
+  platform, not the individual — fit (pi, eps) once on the *pooled*
+  histogram (sufficient statistics add across samples), then hold eps fixed
+  and fit each sample's heterozygosity pi with a batched 1-D nmsimplex.
+
+Per-sample genotype calls then run through the standard per-method
+machinery with the sample's (pi, eps) as the model state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sid_tpu.config import Options
+from sid_tpu.models.common import CallResult
+from sid_tpu.ops import likelihoods
+from sid_tpu.ops.lgamma import lgamma_int_table, table_size
+from sid_tpu.ops.nmsimplex import minimize_nmsimplex2_jax
+from sid_tpu.ops.profiles import (
+    filter_min_coverage,
+    nucleotide_distribution,
+    unique_profiles,
+)
+from sid_tpu.parallel.distributed import merge_histograms
+
+
+@dataclasses.dataclass
+class SampleFit:
+    pi: float
+    eps: float
+    converged: bool
+
+
+def _pad_stack(
+    histograms: Sequence[Tuple[np.ndarray, np.ndarray]]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack per-sample (profiles, mult) into (S, U_max, 4) / (S, U_max)."""
+    u_max = max((p.shape[0] for p, _ in histograms), default=1)
+    u_max = max(u_max, 1)
+    s = len(histograms)
+    profs = np.zeros((s, u_max, 4), np.int32)
+    mults = np.zeros((s, u_max), np.int64)
+    for i, (p, m) in enumerate(histograms):
+        profs[i, : p.shape[0]] = p
+        mults[i, : m.shape[0]] = m
+    return profs, mults
+
+
+@jax.jit
+def _fit_batched(profs, mults, nts, tab):
+    """vmapped independent 2-D fits: (S,U,4),(S,U),(S,4) -> per-sample results."""
+
+    def one(profiles, mult, nt):
+        def objective(theta):
+            return likelihoods.compound_neg_log_likelihood(
+                theta, profiles, mult, nt, tab
+            )
+
+        return minimize_nmsimplex2_jax(
+            objective, jnp.asarray([1e-3, 1e-3]), jnp.asarray([1e-4, 1e-4])
+        )
+
+    return jax.vmap(one)(profs, mults, nts)
+
+
+@jax.jit
+def _fit_pi_batched(profs, mults, nts, eps, tab):
+    """vmapped 1-D heterozygosity fits at a shared fixed error rate."""
+
+    def one(profiles, mult, nt):
+        def objective(theta):
+            full = jnp.stack([theta[0], eps])
+            return likelihoods.compound_neg_log_likelihood(
+                full, profiles, mult, nt, tab
+            )
+
+        return minimize_nmsimplex2_jax(
+            objective, jnp.asarray([1e-3]), jnp.asarray([1e-4])
+        )
+
+    return jax.vmap(one)(profs, mults, nts)
+
+
+def fit_population(
+    histograms: Sequence[Tuple[np.ndarray, np.ndarray]],
+    mode: str = "pooled",
+    diag=None,
+) -> Tuple[List[SampleFit], Optional[SampleFit]]:
+    """Fit the Lynch model over per-sample (cov>=4-filtered) histograms.
+
+    Returns (per-sample fits, pooled fit or None). ``mode`` is "pooled" or
+    "independent".
+    """
+    max_cov = max(
+        (int(p.sum(-1).max()) for p, _ in histograms if p.shape[0]), default=0
+    )
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+    profs, mults = _pad_stack(histograms)
+    nts = np.stack([nucleotide_distribution(p, m) for p, m in histograms])
+
+    pooled = None
+    if mode == "pooled":
+        pp, pm = merge_histograms(list(histograms))
+        pnt = nucleotide_distribution(pp, pm)
+        pmax = int(pp.sum(-1).max()) if pp.shape[0] else 0
+        ptab = jnp.asarray(lgamma_int_table(table_size(pmax)))
+
+        def objective(theta):
+            return likelihoods.compound_neg_log_likelihood(
+                theta, jnp.asarray(pp.astype(np.int32)), jnp.asarray(pm), pnt, ptab
+            )
+
+        res = minimize_nmsimplex2_jax(
+            objective, jnp.asarray([1e-3, 1e-3]), jnp.asarray([1e-4, 1e-4])
+        )
+        pooled = SampleFit(float(res.x[0]), float(res.x[1]), bool(res.converged))
+        if diag:
+            diag(f"# pooled heterozygosity: {pooled.pi:.6e}")
+            diag(f"# pooled error: {pooled.eps:.6e}")
+        r = _fit_pi_batched(
+            jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts),
+            jnp.float64(pooled.eps), tab,
+        )
+        fits = [
+            SampleFit(float(r.x[i, 0]), pooled.eps, bool(r.converged[i]))
+            for i in range(len(histograms))
+        ]
+    else:
+        r = _fit_batched(jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts), tab)
+        fits = [
+            SampleFit(float(r.x[i, 0]), float(r.x[i, 1]), bool(r.converged[i]))
+            for i in range(len(histograms))
+        ]
+    return fits, pooled
+
+
+def call_population(
+    batches: Sequence,
+    options: Options,
+    mode: str = "pooled",
+    diag=None,
+) -> List[CallResult]:
+    """Per-sample genotype calls with population-level model fitting.
+
+    Supported methods: the profile-deduplicated ones (local with -R semantics
+    uses the sample's fitted pi as prior; bayes uses the sample's (pi, eps)).
+    """
+    from sid_tpu.models.bayes import classify_profiles_bayes
+    from sid_tpu.models.local import classify_profiles_local
+    from sid_tpu.models import common
+
+    histograms = []
+    uniques = []
+    for b in batches:
+        p, m, inv = unique_profiles(b.counts)
+        uniques.append((p, m, inv))
+        fp, fm, _ = filter_min_coverage(p, m, 4)
+        histograms.append((fp, fm))
+
+    fits, pooled = fit_population(histograms, mode=mode, diag=diag)
+
+    results = []
+    for b, (p, m, inv), fit in zip(batches, uniques, fits):
+        if options.method == "bayes":
+            # posterior at this sample's fitted (pi, eps)
+            fp, fm, keep = filter_min_coverage(p, m, 4)
+            cls = _classify_bayes_fixed(fp, fm, fit)
+            results.append(
+                common.gather_result(b, "probability", inv, *cls, keep_u=keep)
+            )
+        else:  # local with the fitted per-sample prior
+            cls = classify_profiles_local(p, options, fit.pi, options.mesh_devices)
+            results.append(common.gather_result(b, "p_value", inv, *cls))
+    return results
+
+
+def _classify_bayes_fixed(profiles, mult, fit: SampleFit):
+    """Bayes per-class classification at a fixed (pi, eps)."""
+    from sid_tpu.models import common
+
+    u = profiles.shape[0]
+    # nucleotide distribution from the sample's own filtered histogram
+    nt = nucleotide_distribution(profiles, mult)
+    max_cov = int(profiles.sum(-1).max()) if u else 0
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+    prof = jnp.asarray(np.asarray(profiles, np.int32))
+    log_l_hom = np.asarray(
+        likelihoods.log_hom_marginal(prof, jnp.float64(fit.eps), nt, tab)
+    )
+    log_l_het = np.asarray(
+        likelihoods.log_het_marginal(prof, jnp.float64(fit.eps), nt, tab)
+    )
+    pi = fit.pi
+    log_apost_hom = log_l_hom + np.log(np.float64(1.0 - pi))
+    log_apost_het = (
+        log_l_het + np.log(np.float64(pi)) if pi > 0 else np.full_like(log_l_hom, -np.inf)
+    )
+    with np.errstate(invalid="ignore", over="ignore"):
+        mx = np.maximum(log_apost_hom, log_apost_het)
+        wh = np.exp(log_apost_hom - mx)
+        wt = np.exp(log_apost_het - mx)
+        denom = wh + wt
+        prob_hom = wh / denom
+        prob_het = wt / denom
+        is_het = prob_het > prob_hom
+    major, second = common.major_allele_indices_np(profiles)
+    return is_het, major, second, prob_hom, prob_het
