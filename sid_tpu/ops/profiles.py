@@ -30,17 +30,20 @@ def unique_profiles(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndar
             np.zeros(0, np.int64),
         )
     # pack each (c0,c1,c2,c3) row into one uint64 whose numeric order equals
-    # the row's lexicographic order — np.unique on 1-D integers is much
-    # faster than the axis=0 structured-sort path
+    # the row's lexicographic order, then group via one argsort (much faster
+    # than np.unique's axis=0 structured sort or its return_inverse path)
     c = counts.astype(np.uint64)
     keys = (c[:, 0] << 48) | (c[:, 1] << 32) | (c[:, 2] << 16) | c[:, 3]
-    uniq, inverse, mult = np.unique(keys, return_inverse=True, return_counts=True)
+    uniq = np.unique(keys)  # sort-only path, no inverse bookkeeping
+    inverse = np.searchsorted(uniq, keys)
+    mult = np.bincount(inverse, minlength=uniq.shape[0]).astype(np.int64)
+    inverse = inverse.astype(np.int64)
     prof = np.empty((uniq.shape[0], 4), np.int32)
     prof[:, 0] = (uniq >> 48) & 0xFFFF
     prof[:, 1] = (uniq >> 32) & 0xFFFF
     prof[:, 2] = (uniq >> 16) & 0xFFFF
     prof[:, 3] = uniq & 0xFFFF
-    return prof, mult.astype(np.int64), inverse.reshape(-1).astype(np.int64)
+    return prof, mult, inverse
 
 
 def coverage_of(profiles: np.ndarray) -> np.ndarray:
