@@ -44,6 +44,7 @@ _LONG_OPTIONS = [
     ("profile", "Print per-stage timing report to stderr"),
     ("checkpoint=", "Persist/reuse the pass-1 histogram (.npz) in streaming mode"),
     ("resume", "Resume a streaming run: reuse checkpoint + continue pass 2 (file output only)"),
+    ("population=", "Joint multi-sample calling: 'pooled' (shared error rate) or 'independent'; all positional args are sample pileups, outputs <input>.calls.csv"),
     ("help", "Print this help message"),
 ]
 
@@ -121,10 +122,14 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opts.checkpoint = value
         elif flag == "--resume":
             opts.resume = True
+        elif flag == "--population":
+            opts.population = value
 
     if not rest:
         print("No file name given!", file=sys.stderr)
         sys.exit(1)
+    if opts.population:
+        return opts, rest
     return opts, rest[0]
 
 
@@ -134,6 +139,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if parsed is None:
         return 0
     options, input_path = parsed
+    if options.population:
+        return _main_population(options, input_path)
     try:
         f = open(input_path, "rb")
     except OSError:
@@ -182,6 +189,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     if options.profile:
         prof.report(log=lambda l: print(l, file=sys.stderr))
         activate(None)
+    return 0
+
+
+def _main_population(options: Options, paths: List[str]) -> int:
+    """Joint multi-sample calling: one output CSV per sample."""
+    from sid_tpu.io.pileup import parse_pileup
+    from sid_tpu.models.population import call_population
+
+    def diag(line: str) -> None:
+        if options.diagnostics:
+            print(line, file=sys.stderr)
+
+    batches = []
+    for p in paths:
+        try:
+            with open(p, "rb") as f:
+                batches.append(parse_pileup(f, backend=options.io_backend))
+        except OSError:
+            print(f"Could not open file: {p}", file=sys.stderr)
+            sys.exit(1)
+    results = call_population(batches, options, mode=options.population, diag=diag)
+    for p, res in zip(paths, results):
+        out_path = p + ".calls.csv"
+        with open(out_path, "w") as out:
+            out.write(res.to_csv())
+        diag(f"# wrote {out_path} ({res.num_records} records)")
     return 0
 
 

@@ -51,6 +51,8 @@ class Options:
     # streaming checkpoint/resume
     checkpoint: Optional[str] = None
     resume: bool = False
+    # multi-sample population mode: "", "pooled", or "independent"
+    population: str = ""
 
     def validate(self) -> None:
         if self.method not in ("local", "bayes", "likelihood_ratio", "quality", ""):

@@ -42,11 +42,18 @@ def major_allele_indices_np(counts: np.ndarray):
 
 
 def major_allele_indices(counts: jnp.ndarray):
-    """Device version of the top-2 allele selection (same tie-break)."""
+    """Device version of the top-2 allele selection (same tie-break).
+
+    Branchless two-pass max over the tie-break-encoded scores (no sort —
+    sorts lower poorly on TPU for tiny inner axes).
+    """
     counts = counts.astype(jnp.int64)
     scores = counts * 4 + jnp.arange(4, dtype=jnp.int64)
-    top = jnp.argsort(scores, axis=-1)[..., ::-1]
-    return top[..., 0].astype(jnp.int32), top[..., 1].astype(jnp.int32)
+    s_max = scores.max(axis=-1, keepdims=True)
+    major = (s_max[..., 0] & 3).astype(jnp.int32)
+    second_scores = jnp.where(scores == s_max, jnp.int64(-1), scores)
+    second = (second_scores.max(axis=-1) & 3).astype(jnp.int32)
+    return major, second
 
 
 def clamp_ld_underflow(log_l: jnp.ndarray) -> jnp.ndarray:

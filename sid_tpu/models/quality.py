@@ -7,9 +7,14 @@ ln(1-e)/ln(e) by major-allele match, log P(het) accumulates ln(1-2e/3) /
 ln(2e/3) by top-2 match, plus an allele-balance log-binomial; LRT p-values;
 het iff p2 < alpha. Every input site is emitted in order.
 
-Device mapping: the per-read loop becomes a masked segment-sum over a CSR
-read->site index (embarrassingly parallel over the read axis, the method's
-hot loop at genome scale); per-site finalization is elementwise.
+Work split (measured on TPU v5e): the per-read stage is a pure 256-entry
+table lookup + masked sorted-segment sum — memory-bound host work (Phred
+values are integers, so every transcendental collapses into the table; the
+sequential np.add.reduceat matches the reference's per-site accumulation
+order exactly). The per-site finalization (allele-balance binomial, LRT via
+erfc, thresholds) is elementwise f64 on device, sharded over the site mesh.
+On-device R-axis gathers were tried and lower poorly (one-hot matmul in
+emulated f64).
 """
 
 from __future__ import annotations
@@ -25,35 +30,72 @@ from sid_tpu.ops.lgamma import lgamma_int_table, table_size
 from sid_tpu.ops.profiles import unique_profiles
 from sid_tpu.utils.padding import pad_axis0
 
+_TERM_TABLE = None
+
+
+def quality_term_tables() -> np.ndarray:
+    """(256, 4) f64 table of per-read log terms by Phred value q.
+
+    Columns: [ln(1-e), ln(e), ln(1-2e/3), ln(2e/3)] with e = 10^(-q/10)
+    (call.cpp:331-342 computes these per read).
+    """
+    global _TERM_TABLE
+    if _TERM_TABLE is None:
+        q = np.arange(256, dtype=np.float64)
+        e = np.power(10.0, q / -10.0)
+        with np.errstate(divide="ignore"):
+            _TERM_TABLE = np.stack(
+                [np.log(1.0 - e), np.log(e), np.log(1.0 - 2.0 / 3.0 * e),
+                 np.log(2.0 / 3.0 * e)], axis=1,
+            )
+    return _TERM_TABLE
+
+
+def accumulate_read_terms(batch, major: np.ndarray, second: np.ndarray):
+    """Host per-read stage: (log_hom, log_het) sums per site, f64.
+
+    Table-lookup terms, masked by major/top-2 membership, reduced per site
+    in read order (np.add.reduceat is sequential within segments, matching
+    the reference loop's accumulation order).
+    """
+    n = batch.num_sites
+    offsets = batch.read_offsets
+    lens = np.diff(offsets)
+    site_of_read = np.repeat(np.arange(n, dtype=np.int64), lens)
+    minq = np.minimum(batch.read_bq, batch.read_mq).astype(np.int64)
+    code = batch.read_code.astype(np.int64)
+
+    tab = quality_term_tables()
+    rows = tab[minq]  # (R, 4)
+    is_major = code == major[site_of_read]
+    is_top2 = is_major | (code == second[site_of_read])
+    hom_terms = np.where(is_major, rows[:, 0], rows[:, 1])
+    het_terms = np.where(is_top2, rows[:, 2], rows[:, 3])
+
+    log_hom = np.zeros(n, np.float64)
+    log_het = np.zeros(n, np.float64)
+    nonempty = lens > 0
+    if hom_terms.size:
+        starts = offsets[:-1][nonempty]
+        log_hom[nonempty] = np.add.reduceat(hom_terms, starts)
+        log_het[nonempty] = np.add.reduceat(het_terms, starts)
+    return log_hom, log_het
+
 
 @jax.jit
-def classify_quality(
+def finalize_quality(
     counts: jnp.ndarray,  # (N, 4) int32 (padded)
-    site_of_read: jnp.ndarray,  # (R,) int32 (padded; pads point anywhere valid)
-    read_valid: jnp.ndarray,  # (R,) bool
-    code: jnp.ndarray,  # (R,) int32 base code
-    minq: jnp.ndarray,  # (R,) float64 min(bq, mq)
+    major: jnp.ndarray,
+    second: jnp.ndarray,
+    log_hom: jnp.ndarray,  # (N,) f64 per-site sums
+    log_het: jnp.ndarray,
     snp_prior: jnp.ndarray,
     significance_level: jnp.ndarray,
     lgamma_tab: jnp.ndarray,
 ):
-    n_sites = counts.shape[0]
+    """Per-site finalization (call.cpp:344-369), elementwise on device."""
     counts = counts.astype(jnp.int32)
-    major, second = common.major_allele_indices(counts)
-
-    err = jnp.power(10.0, minq / -10.0)
-    is_major = code == major[site_of_read]
-    is_top2 = is_major | (code == second[site_of_read])
-    hom_terms = jnp.where(is_major, jnp.log(1.0 - err), jnp.log(err))
-    het_terms = jnp.where(
-        is_top2, jnp.log(1.0 - 2.0 / 3.0 * err), jnp.log(2.0 / 3.0 * err)
-    )
-    hom_terms = jnp.where(read_valid, hom_terms, 0.0)
-    het_terms = jnp.where(read_valid, het_terms, 0.0)
-    log_hom = jax.ops.segment_sum(hom_terms, site_of_read, num_segments=n_sites)
-    log_het = jax.ops.segment_sum(het_terms, site_of_read, num_segments=n_sites)
-
-    # allele-balance binomial: ln C(n1+n2, n2) - (n1+n2) ln 2 (call.cpp:344-349)
+    # allele-balance binomial: ln C(n1+n2, n2) - (n1+n2) ln 2
     n = jnp.take_along_axis(counts, major[:, None], 1)[:, 0] + (
         jnp.take_along_axis(counts, second[:, None], 1)[:, 0]
     )
@@ -73,7 +115,7 @@ def classify_quality(
     p1 = stats.lrt_pvalue_from_logs(log_pp2, log_pp1)
     p2 = stats.lrt_pvalue_from_logs(log_pp1, log_pp2)
     is_het = p2 < significance_level
-    return is_het, major, second, p1, p2
+    return is_het, p1, p2
 
 
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
@@ -85,43 +127,32 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
         profiles, mult, _ = unique_profiles(batch.counts)
         snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
 
-    counts = pad_axis0(batch.counts.astype(np.int32))
-    offsets = batch.read_offsets
-    r = int(offsets[-1])
-    site_of_read = np.repeat(np.arange(n, dtype=np.int32), np.diff(offsets))
-    minq = np.minimum(batch.read_bq, batch.read_mq).astype(np.float64)
-    code = batch.read_code.astype(np.int32)
+    counts64 = batch.counts.astype(np.int64)
+    major, second = common.major_allele_indices_np(counts64)
+    log_hom, log_het = accumulate_read_terms(batch, major, second)
 
-    site_of_read_p = pad_axis0(site_of_read)
-    read_valid = pad_axis0(np.ones(r, bool))
-    code_p = pad_axis0(code)
-    minq_p = pad_axis0(minq)
+    counts_p = pad_axis0(batch.counts.astype(np.int32))
+    major_p = pad_axis0(major)
+    second_p = pad_axis0(second)
+    log_hom_p = pad_axis0(log_hom)
+    log_het_p = pad_axis0(log_het)
 
     max_cov = int(batch.counts.sum(-1).max()) if n else 0
     tab = jnp.asarray(lgamma_int_table(table_size(2 * max_cov)))
 
-    counts_dev = jnp.asarray(counts)
-    reads_dev = [
-        jnp.asarray(site_of_read_p),
-        jnp.asarray(read_valid),
-        jnp.asarray(code_p),
-        jnp.asarray(minq_p),
-    ]
+    arrays = [counts_p, major_p, second_p, log_hom_p, log_het_p]
     if options.mesh_devices is not None:
         from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
 
         mesh = make_site_mesh(options.mesh_devices)
         n_dev = int(np.prod(mesh.devices.shape))
-        # shard the read axis (the hot loop); per-site arrays stay replicated
-        # so cross-shard segment sums reduce over the mesh
-        if site_of_read_p.shape[0] % n_dev == 0:
-            reads_dev = [
-                jax.device_put(np.asarray(a), row_sharding(mesh, 1))
-                for a in (site_of_read_p, read_valid, code_p, minq_p)
+        if counts_p.shape[0] % n_dev == 0:
+            arrays = [
+                jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays
             ]
-    is_het, major, second, p1, p2 = classify_quality(
-        counts_dev,
-        *reads_dev,
+    dev = [jnp.asarray(a) for a in arrays]
+    is_het, p1, p2 = finalize_quality(
+        *dev,
         jnp.float64(snp_prior),
         jnp.float64(options.significance_level),
         tab,
@@ -131,8 +162,8 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
         chrom_table=batch.chrom_table,
         pos=batch.pos,
         is_het=np.asarray(is_het)[:n],
-        major=np.asarray(major)[:n],
-        second=np.asarray(second)[:n],
+        major=major[:n].astype(np.int32),
+        second=second[:n].astype(np.int32),
         conf_hom=np.asarray(p1)[:n],
         conf_het=np.asarray(p2)[:n],
         conf_type="p_value",

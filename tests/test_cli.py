@@ -111,3 +111,24 @@ class TestCli:
         assert cli._atof("abc") == 0.0
         assert cli._atof("0.5xyz") == 0.5
         assert cli._atof("1e-3") == 1e-3
+
+
+class TestPopulationCli:
+    def test_population_mode_writes_per_sample_outputs(self, tmp_path, capsys):
+        import numpy as np
+
+        from synth import make_pileup_text, simulate_diploid_counts
+
+        paths = []
+        for i, pi in enumerate([0.01, 0.05]):
+            counts = simulate_diploid_counts(300, coverage=20, pi=pi, eps=0.01,
+                                             seed=50 + i)
+            p = tmp_path / f"s{i}.pileup"
+            p.write_bytes(make_pileup_text(counts))
+            paths.append(str(p))
+        code = cli.main(["--population", "pooled", "-m", "local"] + paths)
+        assert code == 0
+        for p in paths:
+            content = open(p + ".calls.csv").read()
+            assert content.startswith("chrom,pos,")
+            assert content.count("\n") == 301
