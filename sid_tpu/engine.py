@@ -56,20 +56,25 @@ def run(
     diag: Optional[Callable[[str], None]] = None,
 ) -> str:
     """Parse + call + serialize: the whole tool as a function returning CSV."""
+    from sid_tpu.utils import profiling
+
     options = options or Options()
     needs_reads = options.method == "quality"
-    batch = parse_pileup(
-        src,
-        parse_base_qualities=needs_reads,
-        parse_mapping_qualities=needs_reads,
-        backend=options.io_backend,
-    )
-    result = call_batch(batch, options, diag)
+    with profiling.maybe_stage("parse"):
+        batch = parse_pileup(
+            src,
+            parse_base_qualities=needs_reads,
+            parse_mapping_qualities=needs_reads,
+            backend=options.io_backend,
+        )
+    with profiling.maybe_stage("call"):
+        result = call_batch(batch, options, diag)
     if result is None:
         from sid_tpu.models.common import CSV_HEADER
 
         return CSV_HEADER + "\n"
-    return result.to_csv()
+    with profiling.maybe_stage("serialize"):
+        return result.to_csv()
 
 
 def run_streaming(
