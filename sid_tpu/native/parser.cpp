@@ -119,6 +119,47 @@ inline uint8_t to_lower_ascii(uint8_t c) {
   return (c >= 'A' && c <= 'Z') ? static_cast<uint8_t>(c + 32) : c;
 }
 
+// Branchless counting tables: kCountTables[ref][byte] -> 0..3 (A,C,G,T) or
+// 4 (dropped). One table per possible reference byte so './,' resolve with
+// no branches. Valid only for tokens without '^'/'+'/'-' escapes (pre-scan).
+struct CountTables {
+  uint8_t t[256][256];
+  CountTables() {
+    for (int ref = 0; ref < 256; ++ref) {
+      for (int b = 0; b < 256; ++b) {
+        int strand;
+        int code = base_code(static_cast<uint8_t>(b), &strand);
+        t[ref][b] = code >= 0 ? static_cast<uint8_t>(code) : 4;
+      }
+      int strand;
+      uint8_t up = to_upper_ascii(static_cast<uint8_t>(ref));
+      uint8_t lo = to_lower_ascii(static_cast<uint8_t>(ref));
+      int cu = base_code(up, &strand);
+      int cl = base_code(lo, &strand);
+      t[ref]['.'] = cu >= 0 ? static_cast<uint8_t>(cu) : 4;
+      t[ref][','] = cl >= 0 ? static_cast<uint8_t>(cl) : 4;
+    }
+  }
+};
+const CountTables kCountTables;
+
+// counts-only fast path: no escapes possible in the token
+inline void count_bases_fast(const char* s, size_t n, uint8_t ref,
+                             uint16_t counts[4]) {
+  const uint8_t* tbl = kCountTables.t[ref];
+  uint32_t cnt[5] = {0, 0, 0, 0, 0};
+  size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    cnt[tbl[static_cast<uint8_t>(s[i])]]++;
+    cnt[tbl[static_cast<uint8_t>(s[i + 1])]]++;
+    cnt[tbl[static_cast<uint8_t>(s[i + 2])]]++;
+    cnt[tbl[static_cast<uint8_t>(s[i + 3])]]++;
+  }
+  for (; i < n; ++i) cnt[tbl[static_cast<uint8_t>(s[i])]]++;
+  for (int k = 0; k < 4; ++k)
+    counts[k] = static_cast<uint16_t>(counts[k] + cnt[k]);
+}
+
 // parse one read-bases token; appends codes/strands, fills counts[4]
 inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
                              bool want_reads, Shard& out) {
@@ -201,7 +242,15 @@ void parse_range(const char* data, const char* end, bool want_bq, bool want_mq,
         out.ref_base.push_back(ref);
         uint16_t counts[4] = {0, 0, 0, 0};
         size_t reads_before = out.read_code.size();
-        parse_read_bases(toks[4], ref, counts, want_reads, out);
+        bool fast = !want_reads &&
+            memchr(toks[4].p, '^', toks[4].n) == nullptr &&
+            memchr(toks[4].p, '+', toks[4].n) == nullptr &&
+            memchr(toks[4].p, '-', toks[4].n) == nullptr;
+        if (fast) {
+          count_bases_fast(toks[4].p, toks[4].n, ref, counts);
+        } else {
+          parse_read_bases(toks[4], ref, counts, want_reads, out);
+        }
         for (int k = 0; k < 4; ++k) out.counts.push_back(counts[k]);
         if (want_reads) {
           size_t nb = out.read_code.size() - reads_before;

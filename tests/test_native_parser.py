@@ -112,3 +112,25 @@ class TestNativeParity:
     def test_auto_backend_prefers_native(self):
         b = parse_pileup(b"c\t1\tA\t1\t.\n", backend="auto")
         assert b.num_sites == 1
+
+
+class TestFastCountPath:
+    def test_fast_and_general_paths_agree(self):
+        # counts-only parsing takes a branchless fast path for tokens with
+        # no ^/+/- escapes; with_reads parsing always takes the general
+        # loop — both must produce identical counts
+        counts = simulate_diploid_counts(300, coverage=20, seed=9)
+        text = make_pileup_text(counts, with_qualities=True)
+        fast = parse_pileup(text, False, False, backend="native")
+        slow = parse_pileup(text, True, True, backend="native")
+        np.testing.assert_array_equal(fast.counts, slow.counts)
+
+    def test_escape_tokens_fall_back(self):
+        text = (
+            b"c\t1\tA\t4\t.^I.,+2gg,\tIIII\tJJJJ\n"
+            b"c\t2\tA\t4\t..-1a,,\tIIII\tJJJJ\n"
+            b"c\t3\tG\t2\t.N*,\tII\tJJ\n"
+        )
+        fast = parse_pileup(text, False, False, backend="native")
+        py = parse_pileup(text, False, False, backend="python")
+        np.testing.assert_array_equal(fast.counts, py.counts)
