@@ -64,3 +64,9 @@ class Options:
             raise ValueError(f"unknown fit backend: {self.fit_backend!r}")
         if self.io_backend not in ("auto", "native", "python"):
             raise ValueError(f"unknown io backend: {self.io_backend!r}")
+        if self.engine not in ("device", "exact"):
+            raise ValueError(f"unknown engine: {self.engine!r}")
+        if self.population not in ("", "pooled", "independent"):
+            raise ValueError(f"unknown population mode: {self.population!r}")
+        if self.chunk_mb <= 0:
+            raise ValueError("chunk_mb must be positive")

@@ -581,6 +581,12 @@ int64_t sidtpu_write_csv_indexed(
   if (nt > 64) nt = 64;
   if (static_cast<int64_t>(nt) > n) nt = n > 0 ? static_cast<int>(n) : 1;
 
+  // raw-pointer row assembly: per-thread buffer sized from worst-case row
+  size_t max_chrom = 1, max_suffix = 1;
+  for (auto& c : chroms) max_chrom = c.size() > max_chrom ? c.size() : max_chrom;
+  for (auto& s : suffix) max_suffix = s.size() > max_suffix ? s.size() : max_suffix;
+  const size_t row_cap = max_chrom + 1 + 12 + max_suffix;
+
   std::vector<std::string> parts(static_cast<size_t>(nt));
   std::vector<std::thread> threads;
   for (int t = 0; t < nt; ++t) {
@@ -588,15 +594,28 @@ int64_t sidtpu_write_csv_indexed(
     int64_t end = n * (t + 1) / nt;
     threads.emplace_back([&, t, begin, end]() {
       std::string& o = parts[static_cast<size_t>(t)];
-      o.reserve(static_cast<size_t>((end - begin) * 48));
-      char num[16];
+      o.resize(static_cast<size_t>(end - begin) * row_cap);
+      char* base = &o[0];
+      char* w = base;
       for (int64_t i = begin; i < end; ++i) {
-        o += chroms[static_cast<size_t>(chrom_id[i])];
-        o += ',';
-        int len = snprintf(num, sizeof num, "%d", pos[i]);
-        o.append(num, static_cast<size_t>(len));
-        o += suffix[static_cast<size_t>(class_idx[i])];
+        const std::string& ch = chroms[static_cast<size_t>(chrom_id[i])];
+        memcpy(w, ch.data(), ch.size());
+        w += ch.size();
+        *w++ = ',';
+        // inline unsigned itoa (positions are int32; negatives via sign)
+        int32_t v = pos[i];
+        if (v < 0) { *w++ = '-'; }
+        uint32_t uv = v < 0 ? static_cast<uint32_t>(-(int64_t)v)
+                            : static_cast<uint32_t>(v);
+        char tmp[12];
+        int k = 0;
+        do { tmp[k++] = static_cast<char>('0' + uv % 10); uv /= 10; } while (uv);
+        while (k) *w++ = tmp[--k];
+        const std::string& sf = suffix[static_cast<size_t>(class_idx[i])];
+        memcpy(w, sf.data(), sf.size());
+        w += sf.size();
       }
+      o.resize(static_cast<size_t>(w - base));
     });
   }
   for (auto& th : threads) th.join();

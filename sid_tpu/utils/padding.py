@@ -10,15 +10,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def bucket_size(n: int, minimum: int = 256) -> int:
-    """Next power-of-two bucket >= n (>= minimum)."""
+def bucket_size(n: int, minimum: int = 8192) -> int:
+    """Next power-of-two bucket >= n (>= minimum).
+
+    The floor is high (8192) so realistic unique-profile counts all land in
+    one bucket: one XLA compile ever per kernel on a given platform.
+    """
     b = minimum
     while b < n:
         b *= 2
     return b
 
 
-def pad_axis0(a: np.ndarray, minimum: int = 256, fill=0) -> np.ndarray:
+def pad_axis0(a: np.ndarray, minimum: int = 8192, fill=0) -> np.ndarray:
     """Pad axis 0 up to the bucket size with ``fill``."""
     n = a.shape[0]
     b = bucket_size(n, minimum)
