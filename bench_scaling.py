@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Scaling benchmark harness: sites/s efficiency across mesh sizes.
+
+BASELINE.json's scaling target is >=90% sites/s efficiency from 1 chip to
+N >= 2 hosts. Real multi-chip hardware is not available in this container,
+so this harness (a) validates numerical shard-invariance across mesh sizes
+on whatever devices exist (virtual CPU devices via
+--xla_force_host_platform_device_count, or real chips on a pod), and
+(b) measures the sharded Lynch fit + classification wall time per mesh
+size. On a real slice, run:
+
+    JAX_PLATFORMS=tpu python bench_scaling.py
+
+Prints one JSON line per mesh size.
+"""
+
+import json
+import os
+import sys
+import time
+
+if os.environ.get("SIDTPU_SCALING_CPU", "0") == "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import numpy as np  # noqa: E402
+
+import sid_tpu  # noqa: F401,E402
+from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles  # noqa: E402
+from sid_tpu.parallel.fit import fit_lynch_global  # noqa: E402
+from sid_tpu.parallel.mesh import make_site_mesh  # noqa: E402
+
+N_SITES = int(os.environ.get("SIDTPU_SCALING_SITES", "200000"))
+
+
+def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synth import simulate_diploid_counts
+
+    counts = simulate_diploid_counts(N_SITES, coverage=30, pi=0.01, eps=0.005)
+    profiles, mult, _ = unique_profiles(counts)
+    profiles, mult, _ = filter_min_coverage(profiles, mult, 4)
+    n_dev = len(jax.devices())
+    print(f"# devices: {n_dev} ({jax.devices()[0].platform})", file=sys.stderr)
+
+    import jax.numpy as jnp
+
+    from sid_tpu.models.local import classify_local
+    from sid_tpu.ops.lgamma import lgamma_int_table, table_size
+    from sid_tpu.parallel.mesh import row_sharding
+
+    # a large per-site workload for throughput scaling (the embarrassingly
+    # parallel axis); the fit is latency-bound and reported separately
+    big = np.repeat(counts, max(1, 2_000_000 // N_SITES), axis=0).astype(np.int32)
+    pad = (-big.shape[0]) % 64
+    big = np.pad(big, [(0, pad), (0, 0)])
+    tab = jnp.asarray(lgamma_int_table(table_size(int(big.sum(1).max()))))
+
+    fit_times = {}
+    cls_times = {}
+    sizes = [k for k in (1, 2, 4, 8, 16, 32, 64) if k <= n_dev]
+    for k in sizes:
+        mesh = make_site_mesh(k)
+        fit_lynch_global(profiles, mult, mesh)  # warm/compile
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            pi, eps, lh, lt, nt = fit_lynch_global(profiles, mult, mesh)
+        fit_times[k] = (time.time() - t0) / reps
+
+        big_dev = jax.device_put(big, row_sharding(mesh, 2))
+        args = (jnp.float64(0.1), jnp.float64(0.05), jnp.float64(-1.0), tab)
+        jax.block_until_ready(classify_local(big_dev, *args))  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            out = classify_local(big_dev, *args)
+        jax.block_until_ready(out)
+        cls_times[k] = (time.time() - t0) / reps
+
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling",
+                    "mesh_devices": k,
+                    "fit_seconds": round(fit_times[k], 4),
+                    "classify_sites_per_sec": round(big.shape[0] / cls_times[k]),
+                    "classify_scaling_efficiency_vs_1": round(
+                        cls_times[sizes[0]] / (cls_times[k] * k), 3
+                    ),
+                    "pi": round(pi, 8),
+                    "eps": round(eps, 8),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,7 @@ _LONG_OPTIONS = [
     ("stream", "Two-pass streaming mode: memory bounded by --chunk-mb, identical output"),
     ("chunk-mb=", "Streaming chunk size in MB (default 64)"),
     ("profile", "Print per-stage timing report to stderr"),
+    ("platform=", "Force the JAX platform (e.g. 'cpu'); also honored from SIDTPU_PLATFORM"),
     ("checkpoint=", "Persist/reuse the pass-1 histogram (.npz) in streaming mode"),
     ("resume", "Resume a streaming run: reuse checkpoint + continue pass 2 (file output only)"),
     ("population=", "Joint multi-sample calling: 'pooled' (shared error rate) or 'independent'; all positional args are sample pileups, outputs <input>.calls.csv"),
@@ -82,7 +83,9 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
     longopts = [name for name, _ in _LONG_OPTIONS]
     try:
         parsed, rest = getopt.gnu_getopt(argv, shortopts, longopts)
-    except getopt.GetoptError:
+    except getopt.GetoptError as e:
+        # C getopt prints its own diagnostic before the reference exits
+        print(f"sid: {e.msg}", file=sys.stderr)
         sys.exit(1)  # unknown flag: exit(EXIT_FAILURE) (sid.cpp:80)
 
     for flag, value in parsed:
@@ -118,6 +121,8 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opts.chunk_mb = int(value)
         elif flag == "--profile":
             opts.profile = True
+        elif flag == "--platform":
+            opts.platform = value
         elif flag == "--checkpoint":
             opts.checkpoint = value
         elif flag == "--resume":
@@ -139,6 +144,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if parsed is None:
         return 0
     options, input_path = parsed
+    import os as _os
+
+    platform = options.platform or _os.environ.get("SIDTPU_PLATFORM")
+    if platform:
+        # must happen before any backend initializes; env JAX_PLATFORMS is
+        # ineffective here because the container's sitecustomize pins the
+        # accelerator plugin at interpreter start
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     if options.population:
         return _main_population(options, input_path)
     try:
@@ -178,8 +193,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
         prof.count("sites", n)
     else:
-        with f:
-            csv = engine.run(f, options, diag)
+        from sid_tpu.utils.errors import SidParseError
+
+        try:
+            with f:
+                csv = engine.run(f, options, diag)
+        except SidParseError as e:
+            # the reference dies on the uncaught std::invalid_argument; we
+            # report the same message with the offending line number
+            print(f"{e} (line {e.line_number})", file=sys.stderr)
+            sys.exit(1)
         prof.count("sites", max(csv.count("\n") - 1, 0))
         if options.output in ("-", ""):
             sys.stdout.write(csv)

@@ -53,6 +53,8 @@ class Options:
     resume: bool = False
     # multi-sample population mode: "", "pooled", or "independent"
     population: str = ""
+    # force a JAX platform for this run (e.g. "cpu"); None = default
+    platform: Optional[str] = None
 
     def validate(self) -> None:
         if self.method not in ("local", "bayes", "likelihood_ratio", "quality", ""):

@@ -132,3 +132,15 @@ class TestPopulationCli:
             content = open(p + ".calls.csv").read()
             assert content.startswith("chrom,pos,")
             assert content.count("\n") == 301
+
+
+class TestParseErrors:
+    def test_malformed_line_exits_with_message(self, tmp_path, capsys):
+        p = tmp_path / "bad.pileup"
+        p.write_bytes(b"chr1\t1\tA\t1\t.\nnot a pileup line\n")
+        with pytest.raises(SystemExit) as e:
+            cli.main([str(p)])
+        assert e.value.code == 1
+        err = capsys.readouterr().err
+        assert "Malformed pileup line" in err
+        assert "line 2" in err
