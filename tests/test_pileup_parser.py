@@ -170,3 +170,29 @@ class TestParsePileupBatch:
         b = parse_pileup(b"c\t9\tT\t2\t.,\n", backend="python")
         assert b.read_offsets is None
         assert b.counts.tolist() == [[0, 0, 0, 2]]
+
+
+class TestRobustness:
+    def test_uint16_count_wraparound(self):
+        # 65537 As wrap to count 1 (profile_t is uint16 in the reference)
+        line = b"c\t1\tA\t65537\t" + b"A" * 65537
+        out = pileup_py.parse_pileup_line(line, False, False)
+        assert out.counts[0] == 1
+        from sid_tpu.io.pileup import parse_pileup
+
+        nat = parse_pileup(line + b"\n", backend="native")
+        assert nat.counts[0, 0] == 1
+
+    def test_negative_position(self):
+        out = pileup_py.parse_pileup_line(b"c\t-5\tA\t1\t.", False, False)
+        assert out.pos == -5
+
+    def test_position_with_leading_plus(self):
+        out = pileup_py.parse_pileup_line(b"c\t+7\tA\t1\t.", False, False)
+        assert out.pos == 7
+
+    def test_huge_indel_length_terminates(self):
+        out = pileup_py.parse_pileup_line(
+            b"c\t1\tA\t2\t.+999999999999999999g.", False, False
+        )
+        assert out.counts == [1, 0, 0, 0]
