@@ -196,8 +196,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         from sid_tpu.utils.errors import SidParseError
 
         try:
-            with f:
-                csv = engine.run(f, options, diag)
+            f.close()  # engine takes the path (enables the chunk pipeline)
+            csv = engine.run(input_path, options, diag)
         except SidParseError as e:
             # the reference dies on the uncaught std::invalid_argument; we
             # report the same message with the offending line number

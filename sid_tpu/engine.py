@@ -59,6 +59,14 @@ def run(
     from sid_tpu.utils import profiling
 
     options = options or Options()
+    if isinstance(src, (bytes, bytearray)) and _pipeline_eligible(options, len(src)):
+        return _run_pipelined_single_pass(bytes(src), options, diag)
+    import os as _os
+
+    if isinstance(src, (str, _os.PathLike)) and _pipeline_eligible(
+        options, _os.path.getsize(src)
+    ):
+        return _run_pipelined_single_pass(src, options, diag)
     needs_reads = options.method == "quality"
     with profiling.maybe_stage("parse"):
         batch = parse_pileup(
@@ -231,3 +239,55 @@ def run_streaming(
     if progress is not None:
         progress.finish()
     return emitted
+
+
+_PIPELINE_THRESHOLD_BYTES = 32 << 20
+_PIPELINE_CHUNK_BYTES = 32 << 20
+
+
+def _run_pipelined_single_pass(data, options: Options, diag) -> str:
+    """Overlapped chunk pipeline for per-site/per-profile methods.
+
+    For ``local``/``quality`` without an estimated prior, classification is
+    independent per chunk, so parse of chunk k+1 (C++, GIL released)
+    overlaps device classify + C++ serialization of chunk k. Output is
+    byte-identical to the monolithic path.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sid_tpu.io.stream import iter_chunks
+    from sid_tpu.models.common import CSV_HEADER
+    from sid_tpu.utils import profiling
+
+    needs_reads = options.method == "quality"
+
+    def parse(chunk):
+        return parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend)
+
+    def process(batch) -> str:
+        result = call_batch(batch, options, diag)
+        return result.to_csv(include_header=False)
+
+    parts = [CSV_HEADER + "\n"]
+    with profiling.maybe_stage("pipeline"), ThreadPoolExecutor(1) as ex:
+        it = iter_chunks(data, _PIPELINE_CHUNK_BYTES)
+        first = next(it, None)
+        if first is None:
+            return parts[0]
+        fut = ex.submit(parse, first)
+        for chunk in it:
+            nxt = ex.submit(parse, chunk)
+            parts.append(process(fut.result()))
+            fut = nxt
+        parts.append(process(fut.result()))
+    return "".join(parts)
+
+
+def _pipeline_eligible(options: Options, size: int) -> bool:
+    return (
+        options.method in ("local", "quality")
+        and not options.estimate_prior
+        and not options.per_shard_fit
+        and options.engine == "device"
+        and size >= _PIPELINE_THRESHOLD_BYTES
+    )
