@@ -241,8 +241,15 @@ def run_streaming(
     return emitted
 
 
-_PIPELINE_THRESHOLD_BYTES = 32 << 20
-_PIPELINE_CHUNK_BYTES = 32 << 20
+# Per-chunk device dispatch costs ~0.2-0.5s through this container's remote
+# TPU tunnel, so chunked overlap only pays off when the input is too big to
+# hold comfortably in RAM anyway; below the threshold the monolithic path
+# (one dispatch) is faster. On hardware with local submission the threshold
+# can drop via SIDTPU_PIPELINE_MB.
+import os as _os_env
+
+_PIPELINE_THRESHOLD_BYTES = int(_os_env.environ.get("SIDTPU_PIPELINE_MB", "1024")) << 20
+_PIPELINE_CHUNK_BYTES = 128 << 20
 
 
 def _run_pipelined_single_pass(data, options: Options, diag) -> str:
