@@ -14,8 +14,6 @@ import ctypes
 import os
 from typing import Optional
 
-import numpy as np
-
 _LIB_NAMES = ("libsidtpu.so",)
 _lib: Optional[ctypes.CDLL] = None
 _lib_checked = False

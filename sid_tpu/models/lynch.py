@@ -10,7 +10,6 @@ during fitting (SURVEY §5.8).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -21,7 +20,7 @@ from sid_tpu.config import Options
 from sid_tpu.ops import likelihoods
 from sid_tpu.ops.lgamma import lgamma_int_table, table_size
 from sid_tpu.ops.nmsimplex import NmResult, minimize_nmsimplex2_jax
-from sid_tpu.ops.profiles import filter_min_coverage, nucleotide_distribution, unique_profiles
+from sid_tpu.ops.profiles import filter_min_coverage, nucleotide_distribution
 from sid_tpu.utils.padding import pad_axis0
 
 DEFAULT_START = (1e-3, 1e-3)

@@ -157,7 +157,6 @@ def call_population(
     Supported methods: the profile-deduplicated ones (local with -R semantics
     uses the sample's fitted pi as prior; bayes uses the sample's (pi, eps)).
     """
-    from sid_tpu.models.bayes import classify_profiles_bayes
     from sid_tpu.models.local import classify_profiles_local
     from sid_tpu.models import common
 
