@@ -133,8 +133,10 @@ class CallResult:
         from sid_tpu.native.bridge import _configure_writer
 
         _configure_writer(lib)
+        from sid_tpu.native.bridge import encode_chrom_blob
+
         n = self.num_records
-        blob = "\n".join(self.chrom_table).encode("latin1")
+        blob = encode_chrom_blob(self.chrom_table)
         chrom_id = np.ascontiguousarray(self.chrom_id, np.int32)
         pos = np.ascontiguousarray(self.pos, np.int32)
         out = ctypes.POINTER(ctypes.c_char)()
@@ -148,7 +150,7 @@ class CallResult:
             cls_ch = np.ascontiguousarray(self.cls_conf_hom, np.float64)
             cls_ct = np.ascontiguousarray(self.cls_conf_het, np.float64)
             length = lib.sidtpu_write_csv_indexed(
-                blob, i32p(chrom_id), i32p(pos), i32p(self.class_idx), n,
+                blob, len(blob), i32p(chrom_id), i32p(pos), i32p(self.class_idx), n,
                 u8p(cls_is_het), i32p(cls_major), i32p(cls_second),
                 f64p(cls_ch), f64p(cls_ct), cls_ch.shape[0],
                 self.conf_type.encode(), int(include_header), 0,
@@ -161,7 +163,7 @@ class CallResult:
             ch = np.ascontiguousarray(self.conf_hom, np.float64)
             ct = np.ascontiguousarray(self.conf_het, np.float64)
             length = lib.sidtpu_write_csv(
-                blob, i32p(chrom_id), i32p(pos), u8p(is_het), i32p(major),
+                blob, len(blob), i32p(chrom_id), i32p(pos), u8p(is_het), i32p(major),
                 i32p(second), f64p(ch), f64p(ct), self.conf_type.encode(),
                 n, int(include_header), 0, ctypes.byref(out),
             )

@@ -9,6 +9,29 @@ import numpy as np
 from sid_tpu.utils.errors import MALFORMED, MALFORMED_OR_MISSING, ErrorChannel
 
 
+import struct
+
+
+def encode_chrom_blob(names) -> bytes:
+    """[u32 len][bytes]... — names may contain any byte."""
+    parts = []
+    for name in names:
+        raw = name.encode("latin1")
+        parts.append(struct.pack("<I", len(raw)) + raw)
+    return b"".join(parts)
+
+
+def decode_chrom_blob(blob: bytes):
+    out = []
+    i = 0
+    while i + 4 <= len(blob):
+        (ln,) = struct.unpack_from("<I", blob, i)
+        i += 4
+        out.append(blob[i : i + ln].decode("latin1"))
+        i += ln
+    return out
+
+
 def _as_array(ptr_fn, res, ctype, count, dtype):
     if count == 0:
         return np.zeros(0, dtype)
@@ -36,8 +59,10 @@ def _configure(lib):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_void_p
         fn.argtypes = [ctypes.c_void_p]
-    lib.sidtpu_chrom_blob.restype = ctypes.c_char_p
+    lib.sidtpu_chrom_blob.restype = ctypes.c_void_p
     lib.sidtpu_chrom_blob.argtypes = [ctypes.c_void_p]
+    lib.sidtpu_chrom_blob_len.restype = ctypes.c_int64
+    lib.sidtpu_chrom_blob_len.argtypes = [ctypes.c_void_p]
     lib.sidtpu_free.restype = None
     lib.sidtpu_free.argtypes = [ctypes.c_void_p]
     lib._sidtpu_configured = True
@@ -64,8 +89,9 @@ def parse_with_lib(lib, data: bytes, parse_bq: bool, parse_mq: bool,
                     int(ln), MALFORMED_OR_MISSING if code == 1 else MALFORMED
                 )
         n = lib.sidtpu_num_sites(res)
-        blob = lib.sidtpu_chrom_blob(res)
-        chrom_table = blob.decode("latin1").split("\n") if blob else []
+        blob_len = lib.sidtpu_chrom_blob_len(res)
+        blob = ctypes.string_at(lib.sidtpu_chrom_blob(res), blob_len) if blob_len else b""
+        chrom_table = decode_chrom_blob(blob)
         batch = PileupBatch(
             chrom_id=_as_array(lib.sidtpu_chrom_id, res, ctypes.c_int32, n, np.int32),
             chrom_table=chrom_table,
@@ -96,6 +122,7 @@ def _configure_writer(lib):
     lib.sidtpu_write_csv.restype = ctypes.c_int64
     lib.sidtpu_write_csv.argtypes = [
         ctypes.c_char_p,
+        ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8),
@@ -121,6 +148,7 @@ def _configure_writer_indexed(lib):
     lib.sidtpu_write_csv_indexed.restype = ctypes.c_int64
     lib.sidtpu_write_csv_indexed.argtypes = [
         ctypes.c_char_p,
+        ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),

@@ -390,9 +390,10 @@ void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
     for (auto& s : shards) v2.push_back(&s.err_code);
     concat_into(res->err_code, v2);
   }
-  for (size_t i = 0; i < global.names.size(); ++i) {
-    if (i) res->chrom_blob += '\n';
-    res->chrom_blob += global.names[i];
+  for (const auto& name : global.names) {
+    uint32_t len = static_cast<uint32_t>(name.size());
+    res->chrom_blob.append(reinterpret_cast<const char*>(&len), 4);
+    res->chrom_blob += name;
   }
   res->num_sites = static_cast<int64_t>(res->pos.size());
   return res;
@@ -418,11 +419,35 @@ const uint8_t* sidtpu_read_bq(void* r) { return static_cast<Result*>(r)->read_bq
 const uint8_t* sidtpu_read_mq(void* r) { return static_cast<Result*>(r)->read_mq.data(); }
 const int64_t* sidtpu_err_line(void* r) { return static_cast<Result*>(r)->err_line.data(); }
 const int32_t* sidtpu_err_code(void* r) { return static_cast<Result*>(r)->err_code.data(); }
-const char* sidtpu_chrom_blob(void* r) { return static_cast<Result*>(r)->chrom_blob.c_str(); }
+const char* sidtpu_chrom_blob(void* r) { return static_cast<Result*>(r)->chrom_blob.data(); }
+int64_t sidtpu_chrom_blob_len(void* r) {
+  return static_cast<int64_t>(static_cast<Result*>(r)->chrom_blob.size());
+}
 
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+
+namespace {
+
+// length-prefixed chromosome table: [u32 len][bytes]... (names may contain
+// any byte, including NUL and newline)
+std::vector<std::string> split_chrom_blob(const char* blob, int64_t blob_len) {
+  std::vector<std::string> out;
+  int64_t i = 0;
+  while (i + 4 <= blob_len) {
+    uint32_t len;
+    memcpy(&len, blob + i, 4);
+    i += 4;
+    if (i + static_cast<int64_t>(len) > blob_len) break;
+    out.emplace_back(blob + i, len);
+    i += len;
+  }
+  return out;
+}
+
+}  // namespace
+
 // CSV writer: formats output records exactly like the reference's ostream
 // serializer (call.hpp:29-38) — glibc printf "%g" for the two confidence
 // doubles (C++ default ostream precision 6), "hom"/"het" labels, genotype
@@ -466,25 +491,15 @@ extern "C" {
 
 // Returns a malloc'd buffer in *out (caller frees with sidtpu_buffer_free);
 // return value is the byte length.
-int64_t sidtpu_write_csv(const char* chrom_blob, const int32_t* chrom_id,
+int64_t sidtpu_write_csv(const char* chrom_blob, int64_t chrom_blob_len,
+                         const int32_t* chrom_id,
                          const int32_t* pos, const uint8_t* is_het,
                          const int32_t* major, const int32_t* second,
                          const double* conf_hom, const double* conf_het,
                          const char* conf_type, int64_t n, int with_header,
                          int n_threads, char** out) {
   // split the '\n'-joined chromosome table
-  std::vector<std::string> chroms;
-  {
-    const char* p = chrom_blob;
-    const char* s = p;
-    for (;; ++p) {
-      if (*p == '\n' || *p == '\0') {
-        if (p > s || *p == '\n') chroms.emplace_back(s, static_cast<size_t>(p - s));
-        if (*p == '\0') break;
-        s = p + 1;
-      }
-    }
-  }
+  std::vector<std::string> chroms = split_chrom_blob(chrom_blob, chrom_blob_len);
   unsigned hw = std::thread::hardware_concurrency();
   int nt = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 4);
   if (nt > 64) nt = 64;
@@ -537,23 +552,13 @@ void sidtpu_buffer_free(char* p) { free(p); }
 extern "C" {
 
 int64_t sidtpu_write_csv_indexed(
-    const char* chrom_blob, const int32_t* chrom_id, const int32_t* pos,
+    const char* chrom_blob, int64_t chrom_blob_len,
+    const int32_t* chrom_id, const int32_t* pos,
     const int32_t* class_idx, int64_t n, const uint8_t* cls_is_het,
     const int32_t* cls_major, const int32_t* cls_second,
     const double* cls_conf_hom, const double* cls_conf_het, int64_t n_cls,
     const char* conf_type, int with_header, int n_threads, char** out) {
-  std::vector<std::string> chroms;
-  {
-    const char* p = chrom_blob;
-    const char* s = p;
-    for (;; ++p) {
-      if (*p == '\n' || *p == '\0') {
-        if (p > s || *p == '\n') chroms.emplace_back(s, static_cast<size_t>(p - s));
-        if (*p == '\0') break;
-        s = p + 1;
-      }
-    }
-  }
+  std::vector<std::string> chroms = split_chrom_blob(chrom_blob, chrom_blob_len);
   // pre-format per-class suffix: ",label,gt,hom_conf,het_conf,conf_type\n"
   std::vector<std::string> suffix(static_cast<size_t>(n_cls));
   {

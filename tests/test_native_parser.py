@@ -134,3 +134,37 @@ class TestFastCountPath:
         fast = parse_pileup(text, False, False, backend="native")
         py = parse_pileup(text, False, False, backend="python")
         np.testing.assert_array_equal(fast.counts, py.counts)
+
+
+class TestDifferentialFuzz:
+    """Random-input differential fuzzing: both backends, identical output."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_token_soup(self, seed):
+        rng = np.random.default_rng(seed)
+        alphabet = b"ACGTacgtNn.,*$^+-0123456789<>\t "
+        lines = []
+        for _ in range(200):
+            ntok = rng.integers(0, 9)
+            toks = []
+            for _ in range(ntok):
+                ln = rng.integers(1, 12)
+                toks.append(bytes(rng.choice(list(alphabet), ln)))
+            lines.append(b"\t".join(toks))
+        data = b"\n".join(lines) + (b"\n" if rng.uniform() < 0.5 else b"")
+        for bq, mq in ((False, False), (True, True)):
+            py = parse_pileup(data, bq, mq, backend="python", strict=False)
+            nat = parse_pileup(data, bq, mq, backend="native", strict=False)
+            assert_batches_equal(py, nat, with_reads=bq)
+            assert len(py.errors.records) == len(nat.errors.records)
+            assert [r.line_number for r in py.errors.records] == [
+                r.line_number for r in nat.errors.records
+            ]
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_binary_garbage(self, seed):
+        rng = np.random.default_rng(100 + seed)
+        data = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+        py = parse_pileup(data, backend="python", strict=False)
+        nat = parse_pileup(data, backend="native", strict=False)
+        assert_batches_equal(py, nat)
