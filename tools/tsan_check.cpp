@@ -26,7 +26,8 @@ const int32_t* sidtpu_chrom_id(void*);
 const int32_t* sidtpu_pos(void*);
 const uint16_t* sidtpu_counts(void*);
 const char* sidtpu_chrom_blob(void*);
-int64_t sidtpu_write_csv(const char*, const int32_t*, const int32_t*,
+int64_t sidtpu_chrom_blob_len(void*);
+int64_t sidtpu_write_csv(const char*, int64_t, const int32_t*, const int32_t*,
                          const uint8_t*, const int32_t*, const int32_t*,
                          const double*, const double*, const char*, int64_t,
                          int, int, char**);
@@ -55,7 +56,8 @@ int main() {
   std::vector<double> c1(n, 0.5), c2(n, 0.25);
   char* out = nullptr;
   int64_t len = sidtpu_write_csv(
-      sidtpu_chrom_blob(res), sidtpu_chrom_id(res), sidtpu_pos(res),
+      sidtpu_chrom_blob(res), sidtpu_chrom_blob_len(res),
+      sidtpu_chrom_id(res), sidtpu_pos(res),
       is_het.data(), major.data(), second.data(), c1.data(), c2.data(),
       "p_value", n, 1, 16, &out);
   if (len <= 0) return 1;
