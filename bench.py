@@ -102,6 +102,8 @@ def main():
         log("  C++ baseline binary not built; provisional anchor "
             f"{anchor:,.0f} sites/s")
 
+    import jax
+
     print(
         json.dumps(
             {
@@ -109,10 +111,43 @@ def main():
                 "value": round(sites_per_sec),
                 "unit": "sites/s",
                 "vs_baseline": round(sites_per_sec / anchor, 3),
+                "platform": jax.devices()[0].platform,
             }
         )
     )
 
 
+def _watchdog_main():
+    """Run the measurement in a child; on a wedged accelerator (hung remote
+    tunnel), kill it and re-measure on the CPU backend so the driver always
+    gets a metric. One JSON line on stdout either way."""
+    import signal
+
+    budget = int(os.environ.get("SIDTPU_BENCH_TIMEOUT", "1500"))
+    env = dict(os.environ, SIDTPU_BENCH_CHILD="1")
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env)
+    try:
+        rc = child.wait(timeout=budget)
+        if rc == 0:
+            return 0
+        log(f"bench child exited rc={rc}; falling back to CPU")
+    except subprocess.TimeoutExpired:
+        log(f"bench child exceeded {budget}s (wedged accelerator?); "
+            "killing and falling back to CPU")
+        child.kill()
+        child.wait()
+    env = dict(os.environ, SIDTPU_BENCH_CHILD="1", SIDTPU_PLATFORM="cpu")
+    rc = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env).wait()
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SIDTPU_BENCH_CHILD"):
+        platform = os.environ.get("SIDTPU_PLATFORM")
+        if platform:
+            import jax
+
+            jax.config.update("jax_platforms", platform)
+        main()
+    else:
+        sys.exit(_watchdog_main())
