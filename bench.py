@@ -123,7 +123,7 @@ def _watchdog_main():
     gets a metric. One JSON line on stdout either way."""
     import signal
 
-    budget = int(os.environ.get("SIDTPU_BENCH_TIMEOUT", "1500"))
+    budget = int(os.environ.get("SIDTPU_BENCH_TIMEOUT", "900"))
     env = dict(os.environ, SIDTPU_BENCH_CHILD="1")
     child = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env)
     try:
