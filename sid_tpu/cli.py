@@ -133,6 +133,12 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
     if not rest:
         print("No file name given!", file=sys.stderr)
         sys.exit(1)
+    try:
+        # unknown -m keeps the reference's header-only behavior (sid.cpp:92-102)
+        opts.validate(allow_unknown_method=True)
+    except ValueError as e:
+        print(f"sid: {e}", file=sys.stderr)
+        sys.exit(1)
     if opts.population:
         return opts, rest
     return opts, rest[0]

@@ -31,8 +31,11 @@ class Options:
     fit_backend: str = "device"
     # pileup parser backend: "native" (C++ shared lib) with "python" fallback.
     io_backend: str = "auto"
-    # exact p-values: compute erfc on host with libm (GSL-compatible);
-    # False keeps the transform on device (XLA erfc, ~4e-8 relative error).
+    # exact p-values (default): the LRT's erfc runs on the host through
+    # glibc libm (the oracle's math.erfc) from device-computed
+    # log-likelihoods, so CSV parity is independent of the XLA backend's
+    # erfc approximation. False keeps the whole LRT fused on device
+    # (XLA erfc, ~4e-8 relative error — fine when results stay on device).
     exact_pvalues: bool = True
     # number of devices along the site-sharding mesh axis (None = all local)
     mesh_devices: Optional[int] = None
@@ -56,11 +59,17 @@ class Options:
     # force a JAX platform for this run (e.g. "cpu"); None = default
     platform: Optional[str] = None
 
-    def validate(self) -> None:
-        if self.method not in ("local", "bayes", "likelihood_ratio", "quality", ""):
-            # The reference silently prints only the CSV header for unknown
-            # methods (sid.cpp:92-102 falls through every branch); we keep
-            # that observable behavior in the CLI but let the API reject.
+    def validate(self, allow_unknown_method: bool = False) -> None:
+        """Reject inconsistent option combinations.
+
+        The CLI calls this with allow_unknown_method=True: the reference
+        silently prints only the CSV header for unknown -m values
+        (sid.cpp:92-102 falls through every branch), and that observable
+        behavior is preserved; the API default rejects them.
+        """
+        if not allow_unknown_method and self.method not in (
+            "local", "bayes", "likelihood_ratio", "quality", ""
+        ):
             raise ValueError(f"unknown method: {self.method!r}")
         if self.fit_backend not in ("exact", "device"):
             raise ValueError(f"unknown fit backend: {self.fit_backend!r}")

@@ -133,6 +133,14 @@ def run_streaming(
         if start_chunk > 0:
             out.seek(bytes_written)
             out.truncate()
+        else:
+            # absent/corrupt sidecar: restart from scratch — drop any stale
+            # output from a previous run rather than overwriting in place
+            try:
+                out.seek(0)
+                out.truncate()
+            except (OSError, ValueError):
+                pass
     if start_chunk == 0:
         write(common.CSV_HEADER + "\n")
     if method not in ("local", "bayes", "likelihood_ratio", "quality"):
@@ -143,10 +151,13 @@ def run_streaming(
 
     # ---- pass 1: histogram (skipped for quality without -R) ----
     def histogram():
+        from sid_tpu.utils.checkpoint import input_fingerprint
+
+        fp = input_fingerprint(src) if checkpoint else ""
         if checkpoint and resume:
             from sid_tpu.utils.checkpoint import load_fit_state
 
-            state = load_fit_state(checkpoint)
+            state = load_fit_state(checkpoint, fingerprint=fp)
             if state is not None:
                 return state["profiles"], state["mult"]
         with profiling.maybe_stage("histogram"):
@@ -154,7 +165,7 @@ def run_streaming(
         if checkpoint:
             from sid_tpu.utils.checkpoint import save_fit_state
 
-            save_fit_state(checkpoint, profiles, mult)
+            save_fit_state(checkpoint, profiles, mult, fingerprint=fp)
         return profiles, mult
 
     cls = None

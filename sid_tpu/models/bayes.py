@@ -27,9 +27,15 @@ def classify_profiles_bayes(profiles, mult, options: Options, diag=None):
 
     # posterior odds in f64 from log space; the reference's long-double
     # linear division (call.cpp:176-181) agrees to well past 6 digits, and
-    # the both-underflow case maps to NaN/NaN exactly like its 0/0
+    # the both-underflow case maps to NaN/NaN exactly like its 0/0.
+    # Likelihoods (and the prior-weighted products) below the 80-bit
+    # subnormal line underflow to exactly 0 in the reference -> -inf here.
+    log_l_hom = common.clamp_ld_underflow_np(log_l_hom)
+    log_l_het = common.clamp_ld_underflow_np(log_l_het)
     log_apost_hom = log_l_hom + np.log(np.float64(1.0 - pi))
     log_apost_het = log_l_het + np.log(np.float64(pi)) if pi > 0 else np.full_like(log_l_hom, -np.inf)
+    log_apost_hom = common.clamp_ld_underflow_np(log_apost_hom)
+    log_apost_het = common.clamp_ld_underflow_np(log_apost_het)
     with np.errstate(invalid="ignore", over="ignore"):
         # normalize by the larger to avoid overflow; 0/0 -> NaN preserved
         m = np.maximum(log_apost_hom, log_apost_het)

@@ -61,6 +61,12 @@ def clamp_ld_underflow(log_l: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(log_l < LONG_DOUBLE_UNDERFLOW_LOG, -jnp.inf, log_l)
 
 
+def clamp_ld_underflow_np(log_l: np.ndarray) -> np.ndarray:
+    """Host version of clamp_ld_underflow (same 80-bit subnormal line)."""
+    log_l = np.asarray(log_l, np.float64)
+    return np.where(log_l < LONG_DOUBLE_UNDERFLOW_LOG, -np.inf, log_l)
+
+
 @dataclasses.dataclass
 class CallResult:
     """Struct-of-arrays over the emitted sites, in output order."""

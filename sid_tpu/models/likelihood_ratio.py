@@ -30,11 +30,20 @@ def classify_profiles_lr(profiles, mult, options: Options, diag=None):
 
     log_l_hom = jnp.asarray(log_l_hom)
     log_l_het = jnp.asarray(log_l_het)
+    # the reference's long-double likelihoods underflow to exactly 0 below
+    # the 80-bit subnormal limit, before AND after the prior multiply
+    log_l_hom = common.clamp_ld_underflow(log_l_hom)
+    log_l_het = common.clamp_ld_underflow(log_l_het)
     if options.estimate_prior:
-        log_l_het = log_l_het + jnp.log(jnp.float64(pi))
-        log_l_hom = log_l_hom + jnp.log(jnp.float64(1.0 - pi))
-    p1 = stats.lrt_pvalue_from_logs(log_l_het, log_l_hom)  # confidence vs het
-    p2 = stats.lrt_pvalue_from_logs(log_l_hom, log_l_het)
+        log_l_het = common.clamp_ld_underflow(log_l_het + jnp.log(jnp.float64(pi)))
+        log_l_hom = common.clamp_ld_underflow(log_l_hom + jnp.log(jnp.float64(1.0 - pi)))
+    if options.exact_pvalues:
+        lhom, lhet = np.asarray(log_l_hom), np.asarray(log_l_het)
+        p1 = jnp.asarray(stats.lrt_pvalue_from_logs_np(lhet, lhom))  # confidence vs het
+        p2 = jnp.asarray(stats.lrt_pvalue_from_logs_np(lhom, lhet))
+    else:
+        p1 = stats.lrt_pvalue_from_logs(log_l_het, log_l_hom)  # confidence vs het
+        p2 = stats.lrt_pvalue_from_logs(log_l_hom, log_l_het)
     adj_p1 = stats.adjust_benjamini_hochberg(p1)
     adj_p2 = stats.adjust_benjamini_hochberg(p2)
     is_het = np.asarray(adj_p2) < options.significance_level

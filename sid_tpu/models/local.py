@@ -63,7 +63,8 @@ def classify_local(
     p1 = stats.lrt_pvalue_from_logs(l2, l1)
     p2 = stats.lrt_pvalue_from_logs(l1, l2)
     is_het = (l2 > l1) & (p2 < significance_level)
-    return is_het, major, second, p1, p2
+    # l1/l2 (post-prior) ride along so exact_pvalues can redo the LRT on host
+    return is_het, major, second, p1, p2, l1, l2
 
 
 def classify_profiles_local(
@@ -89,7 +90,15 @@ def classify_profiles_local(
         jnp.float64(snp_prior),
         tab,
     )
-    return tuple(np.asarray(o)[:u] for o in out)
+    is_het, major, second, p1, p2, l1, l2 = (np.asarray(o)[:u] for o in out)
+    if options.exact_pvalues:
+        # host-libm LRT from the device log-likelihoods (byte-stable vs the
+        # oracle's math.erfc no matter the backend's erfc implementation)
+        p1 = stats.lrt_pvalue_from_logs_np(l2, l1)
+        p2 = stats.lrt_pvalue_from_logs_np(l1, l2)
+        with np.errstate(invalid="ignore"):
+            is_het = (l2 > l1) & (p2 < options.significance_level)
+    return is_het, major, second, p1, p2
 
 
 def call_local(batch, options: Options, diag=None) -> common.CallResult:

@@ -115,7 +115,8 @@ def finalize_quality(
     p1 = stats.lrt_pvalue_from_logs(log_pp2, log_pp1)
     p2 = stats.lrt_pvalue_from_logs(log_pp1, log_pp2)
     is_het = p2 < significance_level
-    return is_het, p1, p2
+    # post-prior logs ride along so exact_pvalues can redo the LRT on host
+    return is_het, p1, p2, log_pp1, log_pp2
 
 
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
@@ -151,20 +152,30 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
                 jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays
             ]
     dev = [jnp.asarray(a) for a in arrays]
-    is_het, p1, p2 = finalize_quality(
+    is_het, p1, p2, log_pp1, log_pp2 = finalize_quality(
         *dev,
         jnp.float64(snp_prior),
         jnp.float64(options.significance_level),
         tab,
     )
+    if options.exact_pvalues:
+        lpp1 = np.asarray(log_pp1)[:n]
+        lpp2 = np.asarray(log_pp2)[:n]
+        p1 = stats.lrt_pvalue_from_logs_np(lpp2, lpp1)
+        p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
+        is_het = p2 < options.significance_level
+    else:
+        is_het = np.asarray(is_het)[:n]
+        p1 = np.asarray(p1)[:n]
+        p2 = np.asarray(p2)[:n]
     return common.CallResult(
         chrom_id=batch.chrom_id,
         chrom_table=batch.chrom_table,
         pos=batch.pos,
-        is_het=np.asarray(is_het)[:n],
+        is_het=is_het,
         major=major[:n].astype(np.int32),
         second=second[:n].astype(np.int32),
-        conf_hom=np.asarray(p1)[:n],
-        conf_het=np.asarray(p2)[:n],
+        conf_hom=p1,
+        conf_het=p2,
         conf_type="p_value",
     )

@@ -142,6 +142,26 @@ def _configure_writer(lib):
     lib._sidtpu_writer_configured = True
 
 
+def erfc_libm(lib, x: np.ndarray) -> np.ndarray:
+    """Batched glibc erfc through libsidtpu (the exact_pvalues path)."""
+    if not getattr(lib, "_sidtpu_erfc_configured", False):
+        lib.sidtpu_erfc.restype = None
+        lib.sidtpu_erfc.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+        lib._sidtpu_erfc_configured = True
+    arr = np.ascontiguousarray(x, np.float64)
+    out = np.empty_like(arr)
+    lib.sidtpu_erfc(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        arr.size,
+    )
+    return out
+
+
 def _configure_writer_indexed(lib):
     if getattr(lib, "_sidtpu_writer_idx_configured", False):
         return

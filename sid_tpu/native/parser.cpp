@@ -17,6 +17,7 @@
 // the columnar arrays; sidtpu_free() releases.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -232,7 +233,12 @@ void parse_range(const char* data, const char* end, bool want_bq, bool want_mq,
       bool bad_ref = nt >= 3 && toks[2].n != 1;
       if (nt < needed || bad_ref) {
         out.err_line.push_back(line_no);
-        out.err_code.push_back((nt == 6 && want_mq && !bad_ref) ? 1 : 0);
+        // MALFORMED_OR_MISSING (code 1) whenever the mapping-quality column
+        // is the missing one: with want_mq the spec's bq check fires first
+        // only when bq itself is parsed (pileup_py.parse_pileup_line)
+        bool missing_mq = want_mq && !bad_ref &&
+            (nt == 6 || (nt == 5 && !want_bq));
+        out.err_code.push_back(missing_mq ? 1 : 0);
         if (strict) return;
       } else {
         int32_t cid = out.chroms.id_of(toks[0].p, toks[0].n);
@@ -242,7 +248,12 @@ void parse_range(const char* data, const char* end, bool want_bq, bool want_mq,
         out.ref_base.push_back(ref);
         uint16_t counts[4] = {0, 0, 0, 0};
         size_t reads_before = out.read_code.size();
+        // the fast path is grammar-exact only when no escape characters can
+        // appear after './,' substitution: a reference byte of '^'/'+'/'-'
+        // would turn substituted dots into escapes (pileup.cpp:78-83 then
+        // :125-147 semantics), so those lines take the scalar path
         bool fast = !want_reads &&
+            ref != '^' && ref != '+' && ref != '-' &&
             memchr(toks[4].p, '^', toks[4].n) == nullptr &&
             memchr(toks[4].p, '+', toks[4].n) == nullptr &&
             memchr(toks[4].p, '-', toks[4].n) == nullptr;
@@ -538,6 +549,14 @@ int64_t sidtpu_write_csv(const char* chrom_blob, int64_t chrom_blob_len,
 }
 
 void sidtpu_buffer_free(char* p) { free(p); }
+
+// Batched glibc-libm erfc: the exact_pvalues path computes LRT p-values
+// erfc(sqrt(chisq/2)) on the host with the same libm the long-double oracle
+// uses (math.erfc), so device/oracle CSV parity is independent of the XLA
+// backend's erfc approximation (stats.cpp:33's gsl_cdf_chisq_Q analogue).
+void sidtpu_erfc(const double* x, double* out, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) out[i] = erfc(x[i]);
+}
 
 }  // extern "C"
 

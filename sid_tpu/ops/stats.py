@@ -9,8 +9,11 @@ reference's main paths (aic/relative likelihoods, Bonferroni).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def chisq_q_df1(chisq: jnp.ndarray) -> jnp.ndarray:
@@ -27,6 +30,39 @@ def lrt_pvalue_from_logs(log_l0: jnp.ndarray, log_l1: jnp.ndarray) -> jnp.ndarra
     chisq = 2.0 * jnp.maximum(0.0, log_l1 - log_l0)
     p = chisq_q_df1(chisq)
     return jnp.where(jnp.isneginf(log_l0), 0.0, p)
+
+
+def _erfc_host(x: np.ndarray) -> np.ndarray:
+    """glibc-libm erfc over an array (native batch call, math.erfc fallback)."""
+    try:
+        from sid_tpu.io.native import _load
+
+        lib = _load()
+        if lib is not None and hasattr(lib, "sidtpu_erfc"):
+            from sid_tpu.native.bridge import erfc_libm
+
+            return erfc_libm(lib, x)
+    except Exception:
+        pass
+    flat = np.asarray(x, np.float64).ravel()
+    out = np.array([math.erfc(v) for v in flat], np.float64)
+    return out.reshape(np.shape(x))
+
+
+def lrt_pvalue_from_logs_np(log_l0, log_l1) -> np.ndarray:
+    """Host-libm LRT p-values (the Options.exact_pvalues path).
+
+    Same contract as lrt_pvalue_from_logs, but erfc runs through glibc libm
+    — the function the long-double oracle uses (exact/stats_ld.py math.erfc)
+    — so device/oracle CSV parity does not depend on the XLA backend's erfc
+    approximation (reference: gsl_cdf_chisq_Q, stats.cpp:33).
+    """
+    log_l0 = np.asarray(log_l0, np.float64)
+    log_l1 = np.asarray(log_l1, np.float64)
+    with np.errstate(invalid="ignore"):
+        chisq = 2.0 * np.maximum(0.0, log_l1 - log_l0)
+        p = _erfc_host(np.sqrt(chisq * 0.5))
+        return np.where(np.isneginf(log_l0), 0.0, p)
 
 
 def adjust_benjamini_hochberg(p_values: jnp.ndarray) -> jnp.ndarray:

@@ -220,12 +220,12 @@ def run_multihost(
     if pid != 0:
         return None
 
-    # ordered merge on the coordinator
-    import glob
-
+    # ordered merge on the coordinator: only the parts named by this run's
+    # range list (a glob could pick up stale parts from an aborted run)
     with open(out_path, "w") as f:
         f.write(common.CSV_HEADER + "\n")
-        for part in sorted(glob.glob(f"{out_path}.part*")):
+        for start, _ in ranges:
+            part = f"{out_path}.part{start:016d}"
             with open(part) as pf:
                 f.write(pf.read())
             os.remove(part)

@@ -61,7 +61,7 @@ def split_ranges(batch: PileupBatch, k: int) -> List[PileupBatch]:
 def concat_results(parts: List[CallResult]) -> CallResult:
     parts = [p for p in parts if p.num_records >= 0]
     first = parts[0]
-    return CallResult(
+    merged = CallResult(
         chrom_id=np.concatenate([p.chrom_id for p in parts]),
         chrom_table=first.chrom_table,
         pos=np.concatenate([p.pos for p in parts]),
@@ -72,6 +72,22 @@ def concat_results(parts: List[CallResult]) -> CallResult:
         conf_het=np.concatenate([p.conf_het for p in parts]),
         conf_type=first.conf_type,
     )
+    # keep the per-class payload (offset each part's class indices into the
+    # concatenated class table) so serialization stays on the indexed
+    # %g-once-per-class fast path
+    if all(p.class_idx is not None for p in parts):
+        idx_parts = []
+        offset = 0
+        for p in parts:
+            idx_parts.append(p.class_idx.astype(np.int64) + offset)
+            offset += p.cls_is_het.shape[0]
+        merged.class_idx = np.concatenate(idx_parts).astype(np.int32)
+        merged.cls_is_het = np.concatenate([p.cls_is_het for p in parts])
+        merged.cls_major = np.concatenate([p.cls_major for p in parts])
+        merged.cls_second = np.concatenate([p.cls_second for p in parts])
+        merged.cls_conf_hom = np.concatenate([p.cls_conf_hom for p in parts])
+        merged.cls_conf_het = np.concatenate([p.cls_conf_het for p in parts])
+    return merged
 
 
 def call_per_shard(

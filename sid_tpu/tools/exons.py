@@ -140,6 +140,13 @@ def ensembl_mysql_lookup(
             "local exon annotation instead"
         ) from e
 
+    # This SQL is the behavioral spec of the reference lookup — the WHERE
+    # predicates (canonical-transcript join, translated-region bounds per
+    # strand) define which exon contains a coding site, so the statement is
+    # necessarily the same as scripts/ensembl_exons.py:21-38. One deliberate
+    # divergence: the reference's column list is missing a comma between
+    # exon.phase and exon.end_phase (producing a bogus
+    # "exon.phaseexon.end_phase" column); OUTPUT_COLUMNS fixes that.
     query_template = """
 SELECT DISTINCT {cols}
 FROM gene as gene
@@ -159,9 +166,7 @@ WHERE exon.seq_region_start <= site.pos
     AND r.name = CONVERT(site.chrom USING latin1) AND r.coord_system_id = 3
 ORDER BY site.chrom, site.pos ASC
 """
-    cols = ",".join(
-        c.replace("site.", "site.").replace("gene.", "gene.") for c in OUTPUT_COLUMNS
-    )
+    cols = ",".join(OUTPUT_COLUMNS)
     cn = mc.connect(user=user, host=host, db=database)
     cursor = cn.cursor()
     print(",".join(OUTPUT_COLUMNS), file=out)

@@ -22,6 +22,8 @@ import csv
 import gzip
 import itertools
 import sys
+from collections import deque
+from itertools import chain, islice, repeat
 from typing import Iterable, Iterator, List, NamedTuple, Optional, TextIO
 
 
@@ -136,20 +138,23 @@ def parse_ensembl_data(path: str) -> Iterator[SitePhase]:
 
 
 def line_context(iterable: Iterable[str], context: int = 2) -> Iterator[tuple]:
-    """Sliding (2*context+1)-line window; every line appears once at center."""
-    buffer = ["" for _ in range(1 + 2 * context)]
-    center = context
+    """Sliding (2*context+1)-line window; every line appears once at center.
+
+    Deque windowing: seed the window with ``context+1`` empty slots plus the
+    first ``context`` lines right of center, then each appended line (input
+    followed by ``context`` empty flush slots) shifts the window one step
+    and emits it. Windows whose center is an empty pad slot can occur for
+    very short inputs; consumers skip empty centers.
+    """
+    width = 2 * context + 1
     it = iter(iterable)
-    for i in range(center + 1, len(buffer)):
-        buffer[i] = next(it, "")
-    for line in it:
-        buffer[:-1] = buffer[1:]
-        buffer[-1] = line
-        yield tuple(buffer)
-    for _ in range(context):
-        buffer[:-1] = buffer[1:]
-        buffer[-1] = ""
-        yield tuple(buffer)
+    padded = chain(it, repeat(""))
+    window = deque(
+        chain(repeat("", context + 1), islice(padded, context)), maxlen=width
+    )
+    for line in chain(it, repeat("", context)):
+        window.append(line)
+        yield tuple(window)
 
 
 def generate_site_codons(

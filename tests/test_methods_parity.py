@@ -50,6 +50,26 @@ def edge_text():
     return make_pileup_text(counts, with_qualities=True)
 
 
+@pytest.fixture(scope="module")
+def extreme_text():
+    # coverages deep enough that linear long-double likelihoods underflow to
+    # exactly 0 in the oracle (log L < -11399): the device engines must clamp
+    # to -inf at the same line (round-1 advisor finding for bayes/LR)
+    counts = np.array(
+        [
+            [20, 1, 0, 0],
+            [10, 10, 0, 0],
+            [3000, 2800, 0, 0],
+            [6000, 0, 0, 0],
+            [2500, 2500, 100, 0],
+            [25, 0, 1, 0],
+            [1, 2, 3000, 2900],
+        ]
+        * 4
+    )
+    return make_pileup_text(counts)
+
+
 class TestLocalParity:
     def test_simulated(self, sim_text):
         d, e = _both_csv(sim_text, "local")
@@ -81,6 +101,10 @@ class TestBayesParity:
         d, e = _both_csv(edge_text, "bayes", fit_backend="exact")
         assert d == e
 
+    def test_extreme_coverage_underflow(self, extreme_text):
+        d, e = _both_csv(extreme_text, "bayes", fit_backend="exact")
+        assert d == e
+
 
 class TestLikelihoodRatioParity:
     def test_simulated(self, sim_text):
@@ -92,6 +116,26 @@ class TestLikelihoodRatioParity:
             sim_text, "likelihood_ratio", estimate_prior=True, fit_backend="exact"
         )
         assert d == e
+
+    def test_extreme_coverage_underflow(self, extreme_text):
+        d, e = _both_csv(extreme_text, "likelihood_ratio", fit_backend="exact")
+        assert d == e
+        d, e = _both_csv(
+            extreme_text, "likelihood_ratio", estimate_prior=True,
+            fit_backend="exact",
+        )
+        assert d == e
+
+
+class TestExactPvaluesKnob:
+    def test_device_erfc_path_matches_at_csv_level(self, sim_text):
+        # exact_pvalues=False keeps the LRT fused on device; on the CPU
+        # backend both paths must serialize identically
+        for method in ("local", "likelihood_ratio", "quality"):
+            kw = {"fit_backend": "exact"} if method == "likelihood_ratio" else {}
+            a, _ = _both_csv(sim_text, method, exact_pvalues=True, **kw)
+            b, _ = _both_csv(sim_text, method, exact_pvalues=False, **kw)
+            assert a == b, method
 
 
 class TestQualityParity:

@@ -99,6 +99,19 @@ class TestNativeParity:
         assert len(nat.errors.records) == 1
         assert nat.errors.records[0].line_number == 2
 
+    def test_mq_only_five_tokens_is_missing_code(self):
+        # parse_mq without parse_bq on a 5-token line: the spec reports
+        # MALFORMED_OR_MISSING (the mq column is the missing one), not
+        # MALFORMED (round-1 advisor finding)
+        from sid_tpu.utils.errors import MALFORMED_OR_MISSING
+
+        text = b"chr1\t1\tA\t2\t..\n"
+        for backend in ("python", "native"):
+            b = parse_pileup(text, False, True, backend=backend, strict=False)
+            assert b.num_sites == 0
+            assert len(b.errors.records) == 1
+            assert b.errors.records[0].message == MALFORMED_OR_MISSING, backend
+
     def test_no_trailing_newline(self):
         text = b"chr1\t1\tA\t1\t."
         py, nat = both(text)
@@ -135,6 +148,22 @@ class TestFastCountPath:
         py = parse_pileup(text, False, False, backend="python")
         np.testing.assert_array_equal(fast.counts, py.counts)
 
+    def test_escape_reference_bases_fall_back(self):
+        # a reference byte of '^'/'+'/'-' turns substituted '.'/',' into
+        # escapes in the spec; the counts-only fast path must not shortcut
+        # those lines (round-1 advisor finding)
+        text = (
+            b"chr1\t1\t^\t2\t.A\n"
+            b"chr1\t2\t+\t3\t.2AC\n"
+            b"chr1\t3\t-\t3\t,1TG\n"
+            b"chr1\t4\t^\t2\t,C\n"
+        )
+        py, nat = both(text)
+        assert_batches_equal(py, nat)
+        # spec: '.' -> '^' eats the next char, so only [0,0,0,0] remains
+        np.testing.assert_array_equal(py.counts[0], [0, 0, 0, 0])
+        np.testing.assert_array_equal(py.counts[1], [0, 0, 0, 0])
+
 
 class TestDifferentialFuzz:
     """Random-input differential fuzzing: both backends, identical output."""
@@ -152,13 +181,13 @@ class TestDifferentialFuzz:
                 toks.append(bytes(rng.choice(list(alphabet), ln)))
             lines.append(b"\t".join(toks))
         data = b"\n".join(lines) + (b"\n" if rng.uniform() < 0.5 else b"")
-        for bq, mq in ((False, False), (True, True)):
+        for bq, mq in ((False, False), (True, True), (False, True)):
             py = parse_pileup(data, bq, mq, backend="python", strict=False)
             nat = parse_pileup(data, bq, mq, backend="native", strict=False)
-            assert_batches_equal(py, nat, with_reads=bq)
+            assert_batches_equal(py, nat, with_reads=bq or mq)
             assert len(py.errors.records) == len(nat.errors.records)
-            assert [r.line_number for r in py.errors.records] == [
-                r.line_number for r in nat.errors.records
+            assert [(r.line_number, r.message) for r in py.errors.records] == [
+                (r.line_number, r.message) for r in nat.errors.records
             ]
 
     @pytest.mark.parametrize("seed", range(4))

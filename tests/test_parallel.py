@@ -114,3 +114,24 @@ class TestPerShardFit:
             two_chrom_batch, Options(method="bayes", per_shard_fit=True)
         ).to_csv()
         assert global_csv != per_shard_csv
+
+
+class TestConcatPayload:
+    def test_concat_keeps_indexed_class_payload(self, two_chrom_batch):
+        from sid_tpu.parallel.pipeline import concat_results
+
+        shards = split_by_chromosome(two_chrom_batch)
+        opts = Options(method="local")
+        parts = [call_batch(s, opts) for s in shards]
+        merged = concat_results(parts)
+        # the per-class payload survives the merge (indexed CSV fast path)
+        assert merged.class_idx is not None
+        assert merged.cls_is_het.shape[0] == sum(p.cls_is_het.shape[0] for p in parts)
+        # and the indexed serialization equals the per-row path
+        row_wise = "".join(
+            p.to_csv(include_header=(i == 0)) for i, p in enumerate(parts)
+        )
+        assert merged.to_csv() == row_wise
+        np.testing.assert_array_equal(
+            merged.cls_is_het[merged.class_idx], merged.is_het
+        )

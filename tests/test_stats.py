@@ -97,3 +97,37 @@ class TestRelativeLikelihoods:
         # relative likelihood = exp((AIC_min - AIC_other)/2)
         want = math.exp((stats.aic(0.9, 2) - stats.aic(0.1, 2)) / 2.0)
         assert out[0, 1] == pytest.approx(float(want), rel=1e-12)
+
+
+class TestHostLRT:
+    """The exact_pvalues path: glibc-libm erfc from log-likelihoods."""
+
+    def test_matches_math_erfc(self):
+        log_l0 = RNG.normal(-50, 30, 256)
+        log_l1 = log_l0 + RNG.normal(0, 5, 256)
+        got = stats.lrt_pvalue_from_logs_np(log_l0, log_l1)
+        for k in range(256):
+            chisq = 2.0 * max(0.0, log_l1[k] - log_l0[k])
+            assert got[k] == math.erfc(math.sqrt(chisq * 0.5))
+
+    def test_edge_cases_match_device(self):
+        cases = [(-1.0, -5.0), (-np.inf, -1.0), (-np.inf, -np.inf),
+                 (-5.0, -np.inf), (0.0, 0.0)]
+        for l0, l1 in cases:
+            host = float(stats.lrt_pvalue_from_logs_np(np.float64(l0), np.float64(l1)))
+            dev = float(stats.lrt_pvalue_from_logs(jnp.float64(l0), jnp.float64(l1)))
+            assert host == dev, (l0, l1)
+
+    def test_nan_propagates(self):
+        out = stats.lrt_pvalue_from_logs_np(np.array([np.nan]), np.array([-1.0]))
+        assert np.isnan(out[0])
+
+    def test_native_batch_erfc_matches_libm(self):
+        from sid_tpu.io import native
+
+        if not native.available():
+            pytest.skip("libsidtpu not built")
+        xs = np.concatenate([RNG.uniform(0, 30, 512), [0.0, np.inf]])
+        got = stats._erfc_host(xs)
+        for x, g in zip(xs, got):
+            assert g == math.erfc(x)
