@@ -46,6 +46,7 @@ _LONG_OPTIONS = [
     ("checkpoint=", "Persist/reuse the pass-1 histogram (.npz) in streaming mode"),
     ("resume", "Resume a streaming run: reuse checkpoint + continue pass 2 (file output only)"),
     ("population=", "Joint multi-sample calling: 'pooled' (shared error rate) or 'independent'; all positional args are sample pileups, outputs <input>.calls.csv"),
+    ("multihost", "Multi-host data-parallel run (jax.distributed): requires --output; honors SIDTPU_COORDINATOR/SIDTPU_NUM_PROCESSES/SIDTPU_PROCESS_ID or TPU-pod auto-detection"),
     ("help", "Print this help message"),
 ]
 
@@ -129,6 +130,8 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opts.resume = True
         elif flag == "--population":
             opts.population = value
+        elif flag == "--multihost":
+            opts.multihost = True
 
     if not rest:
         print("No file name given!", file=sys.stderr)
@@ -162,6 +165,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_platforms", platform)
     if options.population:
         return _main_population(options, input_path)
+    if options.multihost or _os.environ.get("SIDTPU_NUM_PROCESSES"):
+        return _main_multihost(options, input_path)
     try:
         f = open(input_path, "rb")
     except OSError:
@@ -221,23 +226,69 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def _main_population(options: Options, paths: List[str]) -> int:
-    """Joint multi-sample calling: one output CSV per sample."""
-    from sid_tpu.io.pileup import parse_pileup
-    from sid_tpu.models.population import call_population
+def _main_multihost(options: Options, input_path: str) -> int:
+    """Multi-host data-parallel run: every process executes this same CLI.
+
+    The reference's multi-node story is the GNU-parallel chromosome fan-out
+    (scripts/sid-pipeline/parallel-run-sid.sh); here each process parses its
+    newline-aligned byte range, histograms all-gather so every process fits
+    the identical global model, and output parts merge on the coordinator.
+    """
+    import os as _os
+
+    from sid_tpu.parallel import distributed
+
+    if options.output in ("-", ""):
+        print("sid: --multihost requires --output PATH", file=sys.stderr)
+        sys.exit(1)
+    nprocs = _os.environ.get("SIDTPU_NUM_PROCESSES")
+    procid = _os.environ.get("SIDTPU_PROCESS_ID")
+    distributed.initialize(
+        _os.environ.get("SIDTPU_COORDINATOR"),
+        int(nprocs) if nprocs else None,
+        int(procid) if procid else None,
+    )
 
     def diag(line: str) -> None:
         if options.diagnostics:
             print(line, file=sys.stderr)
 
-    batches = []
+    out = distributed.run_multihost(input_path, options, options.output, diag)
+    if out is not None:
+        diag(f"# wrote {out}")
+    return 0
+
+
+def _main_population(options: Options, paths: List[str]) -> int:
+    """Joint multi-sample calling: one output CSV per sample."""
+    from sid_tpu.io.pileup import parse_pileup
+    from sid_tpu.models.population import call_population, call_population_streaming
+
+    def diag(line: str) -> None:
+        if options.diagnostics:
+            print(line, file=sys.stderr)
+
     for p in paths:
-        try:
-            with open(p, "rb") as f:
-                batches.append(parse_pileup(f, backend=options.io_backend))
-        except OSError:
+        import os as _os
+
+        if not _os.path.exists(p):
             print(f"Could not open file: {p}", file=sys.stderr)
             sys.exit(1)
+    if options.stream:
+        # streamed ingest: histograms accumulate chunk-by-chunk, no sample
+        # is ever RAM-resident (BASELINE config 5 at scale)
+        call_population_streaming(
+            paths, options, mode=options.population, diag=diag,
+            chunk_bytes=options.chunk_mb << 20,
+        )
+        return 0
+    needs_reads = options.method == "quality"
+    batches = []
+    for p in paths:
+        with open(p, "rb") as f:
+            batches.append(
+                parse_pileup(f, needs_reads, needs_reads, backend=options.io_backend)
+            )
     results = call_population(batches, options, mode=options.population, diag=diag)
     for p, res in zip(paths, results):
         out_path = p + ".calls.csv"

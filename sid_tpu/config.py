@@ -56,6 +56,10 @@ class Options:
     resume: bool = False
     # multi-sample population mode: "", "pooled", or "independent"
     population: str = ""
+    # multi-host data-parallel execution (jax.distributed): every process
+    # parses its byte range, histograms all-gather, output parts merge on
+    # the coordinator. Also auto-engaged when jax.process_count() > 1.
+    multihost: bool = False
     # force a JAX platform for this run (e.g. "cpu"); None = default
     platform: Optional[str] = None
 
@@ -81,3 +85,7 @@ class Options:
             raise ValueError(f"unknown population mode: {self.population!r}")
         if self.chunk_mb <= 0:
             raise ValueError("chunk_mb must be positive")
+        if self.multihost and self.output in ("-", ""):
+            raise ValueError("--multihost requires --output (parts merge into a file)")
+        if self.multihost and self.population:
+            raise ValueError("--multihost and --population are mutually exclusive")

@@ -220,28 +220,7 @@ def run_streaming(
             opts = _dc.replace(options, estimate_prior=False, snp_prior=snp_prior)
             res = call_quality(batch, opts)
         else:
-            site_keys = pack_profiles(batch.counts)
-            idx = np.searchsorted(keys, site_keys)
-            idx_c = np.minimum(idx, max(len(keys) - 1, 0))
-            found = keys[idx_c] == site_keys if len(keys) else np.zeros(len(site_keys), bool)
-            class_idx = idx_c[found].astype(np.int32)
-            res = common.CallResult(
-                chrom_id=batch.chrom_id[found],
-                chrom_table=batch.chrom_table,
-                pos=batch.pos[found],
-                is_het=cls[0][class_idx],
-                major=cls[1][class_idx],
-                second=cls[2][class_idx],
-                conf_hom=np.asarray(cls[3], np.float64)[class_idx],
-                conf_het=np.asarray(cls[4], np.float64)[class_idx],
-                conf_type=conf_type,
-                class_idx=class_idx,
-                cls_is_het=cls[0],
-                cls_major=cls[1],
-                cls_second=cls[2],
-                cls_conf_hom=np.asarray(cls[3], np.float64),
-                cls_conf_het=np.asarray(cls[4], np.float64),
-            )
+            res = common.join_class_table(batch, keys, cls, conf_type)
         write(res.to_csv(include_header=False))
         emitted += res.num_records
         if progress is not None:

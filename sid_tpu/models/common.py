@@ -179,6 +179,48 @@ class CallResult:
             lib.sidtpu_buffer_free(out)
 
 
+def join_class_table(
+    batch,
+    keys: np.ndarray,
+    cls,
+    conf_type: str,
+) -> CallResult:
+    """Join a per-class table onto a batch through packed-profile search.
+
+    ``keys`` is the sorted packed-uint64 profile table; ``cls`` is the
+    5-tuple (is_het, major, second, conf_hom, conf_het) over classes. Sites
+    whose profile is absent from ``keys`` (e.g. cov<4-filtered) are omitted,
+    in input order — the streaming/multi-host analogue of the
+    map<profile_t,size_t> join (call.cpp:129-140).
+    """
+    from sid_tpu.io.stream import pack_profiles
+
+    site_keys = pack_profiles(batch.counts)
+    idx = np.searchsorted(keys, site_keys)
+    idx_c = np.minimum(idx, max(len(keys) - 1, 0))
+    found = keys[idx_c] == site_keys if len(keys) else np.zeros(len(site_keys), bool)
+    class_idx = idx_c[found].astype(np.int32)
+    cls_conf_hom = np.asarray(cls[3], np.float64)
+    cls_conf_het = np.asarray(cls[4], np.float64)
+    return CallResult(
+        chrom_id=batch.chrom_id[found],
+        chrom_table=batch.chrom_table,
+        pos=batch.pos[found],
+        is_het=cls[0][class_idx],
+        major=cls[1][class_idx],
+        second=cls[2][class_idx],
+        conf_hom=cls_conf_hom[class_idx],
+        conf_het=cls_conf_het[class_idx],
+        conf_type=conf_type,
+        class_idx=class_idx,
+        cls_is_het=np.asarray(cls[0]),
+        cls_major=np.asarray(cls[1]),
+        cls_second=np.asarray(cls[2]),
+        cls_conf_hom=cls_conf_hom,
+        cls_conf_het=cls_conf_het,
+    )
+
+
 def gather_result(
     batch,
     conf_type: str,

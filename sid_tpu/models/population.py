@@ -146,6 +146,34 @@ def fit_population(
     return fits, pooled
 
 
+def classify_sample_profiles(
+    profiles: np.ndarray,
+    mult: np.ndarray,
+    fit: SampleFit,
+    options: Options,
+):
+    """Per-class tables for one sample at its fitted (pi, eps).
+
+    Returns (cls 5-tuple over classes, filtered: bool, conf_type). For the
+    profile-deduplicated methods only; ``filtered`` says whether the class
+    table covers the cov>=4-filtered profiles (bayes/likelihood_ratio omit
+    filtered-out sites) or all profiles (local).
+    """
+    from sid_tpu.models.local import classify_profiles_local
+
+    method = options.method
+    if method == "local":
+        # local with the fitted per-sample prior (-R semantics)
+        cls = classify_profiles_local(profiles, options, fit.pi, options.mesh_devices)
+        return cls, False, "p_value"
+    fp, fm, _ = filter_min_coverage(profiles, mult, 4)
+    if method == "bayes":
+        return _classify_bayes_fixed(fp, fm, fit), True, "probability"
+    if method == "likelihood_ratio":
+        return _classify_lr_fixed(fp, fm, fit, options), True, "p_value"
+    raise ValueError(f"population mode does not support method {method!r}")
+
+
 def call_population(
     batches: Sequence,
     options: Options,
@@ -154,10 +182,10 @@ def call_population(
 ) -> List[CallResult]:
     """Per-sample genotype calls with population-level model fitting.
 
-    Supported methods: the profile-deduplicated ones (local with -R semantics
-    uses the sample's fitted pi as prior; bayes uses the sample's (pi, eps)).
+    All four methods: local uses the sample's fitted pi as prior (-R
+    semantics), bayes/likelihood_ratio classify at the sample's (pi, eps),
+    quality (per-site) uses the fitted pi as its SNP prior.
     """
-    from sid_tpu.models.local import classify_profiles_local
     from sid_tpu.models import common
 
     histograms = []
@@ -172,17 +200,127 @@ def call_population(
 
     results = []
     for b, (p, m, inv), fit in zip(batches, uniques, fits):
-        if options.method == "bayes":
-            # posterior at this sample's fitted (pi, eps)
-            fp, fm, keep = filter_min_coverage(p, m, 4)
-            cls = _classify_bayes_fixed(fp, fm, fit)
-            results.append(
-                common.gather_result(b, "probability", inv, *cls, keep_u=keep)
+        if options.method == "quality":
+            from sid_tpu.models.quality import call_quality
+
+            opts = dataclasses.replace(
+                options, estimate_prior=False, snp_prior=fit.pi
             )
-        else:  # local with the fitted per-sample prior
-            cls = classify_profiles_local(p, options, fit.pi, options.mesh_devices)
-            results.append(common.gather_result(b, "p_value", inv, *cls))
+            results.append(call_quality(b, opts))
+            continue
+        cls, filtered, conf_type = classify_sample_profiles(p, m, fit, options)
+        keep = filter_min_coverage(p, m, 4)[2] if filtered else None
+        results.append(
+            common.gather_result(b, conf_type, inv, *cls, keep_u=keep)
+        )
     return results
+
+
+def call_population_streaming(
+    paths: Sequence[str],
+    options: Options,
+    mode: str = "pooled",
+    diag=None,
+    chunk_bytes: int = 64 << 20,
+) -> List[int]:
+    """Streamed population calling: 100 samples without RAM-resident parses.
+
+    Pass 1 folds each sample into its unique-profile histogram
+    (accumulate_histogram); the population fit runs on the tiny histograms;
+    pass 2 re-parses each sample chunk-by-chunk, classifying through the
+    per-class join (or per-site quality calls) and appending to
+    ``<path>.calls.csv``. Returns per-sample record counts.
+    """
+    from sid_tpu.io.pileup import parse_pileup
+    from sid_tpu.io.stream import accumulate_histogram, iter_chunks, pack_profiles
+    from sid_tpu.models import common
+
+    full_hists = []
+    for p in paths:
+        profiles, mult, _ = accumulate_histogram(p, chunk_bytes, options.io_backend)
+        full_hists.append((profiles, mult))
+    filtered_hists = [
+        filter_min_coverage(p, m, 4)[:2] for p, m in full_hists
+    ]
+    fits, pooled = fit_population(filtered_hists, mode=mode, diag=diag)
+
+    needs_reads = options.method == "quality"
+    counts = []
+    for path, (profiles, mult), fit in zip(paths, full_hists, fits):
+        out_path = path + ".calls.csv"
+        emitted = 0
+        if needs_reads:
+            from sid_tpu.models.quality import call_quality
+
+            opts = dataclasses.replace(
+                options, estimate_prior=False, snp_prior=fit.pi
+            )
+            cls = keys = conf_type = None
+        else:
+            cls, filtered, conf_type = classify_sample_profiles(
+                profiles, mult, fit, options
+            )
+            src = filter_min_coverage(profiles, mult, 4)[0] if filtered else profiles
+            keys = pack_profiles(src)
+        with open(out_path, "w") as out:
+            out.write(common.CSV_HEADER + "\n")
+            for chunk in iter_chunks(path, chunk_bytes):
+                batch = parse_pileup(
+                    chunk, needs_reads, needs_reads, backend=options.io_backend
+                )
+                if batch.num_sites == 0:
+                    continue
+                if needs_reads:
+                    res = call_quality(batch, opts)
+                else:
+                    res = common.join_class_table(batch, keys, cls, conf_type)
+                out.write(res.to_csv(include_header=False))
+                emitted += res.num_records
+        if diag:
+            diag(f"# wrote {out_path} ({emitted} records)")
+        counts.append(emitted)
+    return counts
+
+
+def _classify_lr_fixed(profiles, mult, fit: SampleFit, options: Options):
+    """likelihood_ratio per-class classification at a fixed (pi, eps).
+
+    Reference semantics per sample (call.cpp:62-143): marginal likelihoods
+    at the fitted error rate, optional -R prior weighting by the sample's
+    pi, two LRT p-values, BH correction across the sample's own unique
+    profiles, het iff adjusted p2 < alpha.
+    """
+    from sid_tpu.models import common
+    from sid_tpu.ops import stats
+
+    u = profiles.shape[0]
+    nt = nucleotide_distribution(profiles, mult)
+    max_cov = int(profiles.sum(-1).max()) if u else 0
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+    prof = jnp.asarray(np.asarray(profiles, np.int32))
+    log_l_hom = np.asarray(
+        likelihoods.log_hom_marginal(prof, jnp.float64(fit.eps), nt, tab)
+    )
+    log_l_het = np.asarray(
+        likelihoods.log_het_marginal(prof, jnp.float64(fit.eps), nt, tab)
+    )
+    log_l_hom = common.clamp_ld_underflow_np(log_l_hom)
+    log_l_het = common.clamp_ld_underflow_np(log_l_het)
+    if options.estimate_prior and fit.pi > 0:
+        with np.errstate(divide="ignore"):
+            log_l_het = common.clamp_ld_underflow_np(log_l_het + np.log(fit.pi))
+            log_l_hom = common.clamp_ld_underflow_np(log_l_hom + np.log(1.0 - fit.pi))
+    if options.exact_pvalues:
+        p1 = jnp.asarray(stats.lrt_pvalue_from_logs_np(log_l_het, log_l_hom))
+        p2 = jnp.asarray(stats.lrt_pvalue_from_logs_np(log_l_hom, log_l_het))
+    else:
+        p1 = stats.lrt_pvalue_from_logs(jnp.asarray(log_l_het), jnp.asarray(log_l_hom))
+        p2 = stats.lrt_pvalue_from_logs(jnp.asarray(log_l_hom), jnp.asarray(log_l_het))
+    adj_p1 = np.asarray(stats.adjust_benjamini_hochberg(p1))
+    adj_p2 = np.asarray(stats.adjust_benjamini_hochberg(p2))
+    is_het = adj_p2 < options.significance_level
+    major, second = common.major_allele_indices_np(profiles)
+    return is_het, major, second, adj_p1, adj_p2
 
 
 def _classify_bayes_fixed(profiles, mult, fit: SampleFit):

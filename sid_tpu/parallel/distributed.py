@@ -142,25 +142,33 @@ def run_multihost(
     nproc = jax.process_count()
     ranges = byte_ranges(path, nproc * ranges_per_process)
     my_ranges = [r for i, r in enumerate(ranges) if i % nproc == pid]
+    method = options.method
+    needs_reads = method == "quality"
 
-    # pass 1: local histogram over my ranges
+    # pass 1: local histogram over my ranges (the fit's sufficient statistic;
+    # quality without -R needs no histogram — its stats are per-site)
     local_parts = []
     batches = []
     for start, end in my_ranges:
-        batch = parse_pileup(read_range(path, start, end), backend=options.io_backend)
+        batch = parse_pileup(
+            read_range(path, start, end), needs_reads, needs_reads,
+            backend=options.io_backend,
+        )
         batches.append(batch)
         p, m, _ = unique_profiles(batch.counts)
         local_parts.append((p, m))
-    lp, lm = merge_histograms(local_parts)
-    profiles, mult = allgather_histogram(lp, lm)
+    need_hist = method != "quality" or options.estimate_prior
+    if need_hist:
+        lp, lm = merge_histograms(local_parts)
+        profiles, mult = allgather_histogram(lp, lm)
 
     # identical global classification table on every process
-    method = options.method
     conf_type = "p_value"
+    cls = keys = None
+    snp_prior = options.snp_prior
     if method == "local":
         from sid_tpu.models.local import classify_profiles_local
 
-        snp_prior = options.snp_prior
         if options.estimate_prior:
             from sid_tpu.models.lynch import estimate_prior_heterozygosity
 
@@ -180,34 +188,28 @@ def run_multihost(
         fprof, fmult, _ = filter_min_coverage(profiles, mult, 4)
         cls = classify_profiles_lr(fprof, fmult, options, diag)
         keys = pack_profiles(fprof)
+    elif method == "quality":
+        # per-site method: only the -R prior is global state; every process
+        # derives the identical snp_prior from the merged histogram
+        if options.estimate_prior:
+            from sid_tpu.models.lynch import estimate_prior_heterozygosity
+
+            snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
     else:
         raise ValueError(f"run_multihost does not support method {method!r}")
 
     # pass 2: classify own ranges, write part files
+    import dataclasses as _dc
+
     part_paths = []
     for (start, _), batch in zip(my_ranges, batches):
-        site_keys = pack_profiles(batch.counts)
-        idx = np.searchsorted(keys, site_keys)
-        idx_c = np.minimum(idx, max(len(keys) - 1, 0))
-        found = keys[idx_c] == site_keys if len(keys) else np.zeros(len(site_keys), bool)
-        class_idx = idx_c[found].astype(np.int32)
-        res = common.CallResult(
-            chrom_id=batch.chrom_id[found],
-            chrom_table=batch.chrom_table,
-            pos=batch.pos[found],
-            is_het=cls[0][class_idx],
-            major=cls[1][class_idx],
-            second=cls[2][class_idx],
-            conf_hom=np.asarray(cls[3], np.float64)[class_idx],
-            conf_het=np.asarray(cls[4], np.float64)[class_idx],
-            conf_type=conf_type,
-            class_idx=class_idx,
-            cls_is_het=cls[0],
-            cls_major=cls[1],
-            cls_second=cls[2],
-            cls_conf_hom=np.asarray(cls[3], np.float64),
-            cls_conf_het=np.asarray(cls[4], np.float64),
-        )
+        if method == "quality":
+            from sid_tpu.models.quality import call_quality
+
+            opts = _dc.replace(options, estimate_prior=False, snp_prior=snp_prior)
+            res = call_quality(batch, opts)
+        else:
+            res = common.join_class_table(batch, keys, cls, conf_type)
         part = f"{out_path}.part{start:016d}"
         with open(part, "w") as f:
             f.write(res.to_csv(include_header=False))

@@ -144,6 +144,34 @@ class TestPopulationCli:
             content = open(p + ".calls.csv").read()
             assert content.startswith("chrom,pos,")
             assert content.count("\n") == 301
+        in_memory = [open(p + ".calls.csv").read() for p in paths]
+        # streamed ingest produces identical outputs
+        code = cli.main(
+            ["--population", "pooled", "-m", "local", "--stream",
+             "--chunk-mb", "1"] + paths
+        )
+        assert code == 0
+        for p, want in zip(paths, in_memory):
+            assert open(p + ".calls.csv").read() == want
+
+    def test_population_likelihood_ratio_with_prior(self, tmp_path, capsys):
+        from synth import make_pileup_text, simulate_diploid_counts
+
+        paths = []
+        for i, pi in enumerate([0.01, 0.05]):
+            counts = simulate_diploid_counts(400, coverage=20, pi=pi, eps=0.01,
+                                             seed=60 + i)
+            p = tmp_path / f"lr{i}.pileup"
+            p.write_bytes(make_pileup_text(counts))
+            paths.append(str(p))
+        code = cli.main(
+            ["--population", "pooled", "-R", "-m", "likelihood_ratio"] + paths
+        )
+        assert code == 0
+        for p in paths:
+            content = open(p + ".calls.csv").read()
+            assert content.startswith("chrom,pos,")
+            assert ",p_value" in content
 
 
 class TestParseErrors:

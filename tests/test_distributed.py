@@ -45,10 +45,12 @@ class TestMergeHistograms:
         assert mult.tolist() == [9, 3, 5]
 
 
-@pytest.mark.parametrize("method", ["local", "bayes", "likelihood_ratio"])
+@pytest.mark.parametrize(
+    "method", ["local", "bayes", "likelihood_ratio", "quality"]
+)
 def test_multihost_single_process_matches_batch(tmp_path, method):
     counts = simulate_diploid_counts(1500, coverage=18, pi=0.03, eps=0.01)
-    text = make_pileup_text(counts)
+    text = make_pileup_text(counts, with_qualities=(method == "quality"))
     src = tmp_path / "in.pileup"
     src.write_bytes(text)
     out = str(tmp_path / "out.csv")
@@ -58,3 +60,46 @@ def test_multihost_single_process_matches_batch(tmp_path, method):
                              ranges_per_process=4)
     assert got_path == out
     assert open(out).read() == want
+
+
+def test_multihost_quality_with_estimated_prior(tmp_path):
+    counts = simulate_diploid_counts(1000, coverage=18, pi=0.03, eps=0.01, seed=3)
+    text = make_pileup_text(counts, with_qualities=True)
+    src = tmp_path / "in.pileup"
+    src.write_bytes(text)
+    out = str(tmp_path / "out.csv")
+    opts = Options(method="quality", estimate_prior=True)
+    want = engine.run(text, opts)
+    run_multihost(str(src), opts, out, ranges_per_process=3)
+    assert open(out).read() == want
+
+
+def test_multihost_ignores_stale_parts(tmp_path):
+    counts = simulate_diploid_counts(400, coverage=18, pi=0.03, eps=0.01, seed=4)
+    text = make_pileup_text(counts)
+    src = tmp_path / "in.pileup"
+    src.write_bytes(text)
+    out = str(tmp_path / "out.csv")
+    # a stale part file from a previous aborted run with different ranges
+    stale = out + ".part" + "9" * 16
+    open(stale, "w").write("STALE,1,hom,AA,1,0,p_value\n")
+    run_multihost(str(src), Options(method="local"), out, ranges_per_process=2)
+    assert "STALE" not in open(out).read()
+
+
+def test_multihost_cli_entry(tmp_path, capsys):
+    from sid_tpu import cli
+
+    counts = simulate_diploid_counts(500, coverage=18, pi=0.03, eps=0.01, seed=5)
+    text = make_pileup_text(counts)
+    src = tmp_path / "in.pileup"
+    src.write_bytes(text)
+    out = str(tmp_path / "out.csv")
+    want = engine.run(text, Options(method="local"))
+    code = cli.main(["--multihost", "--output", out, str(src)])
+    assert code == 0
+    assert open(out).read() == want
+
+    # --multihost without --output is rejected
+    with pytest.raises(SystemExit):
+        cli.main(["--multihost", str(src)])

@@ -11,13 +11,16 @@ from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
 from synth import make_pileup_text, simulate_diploid_counts
 
 
-def make_samples(n_samples, pis, eps=0.01, n_sites=1200, cov=25):
+def make_samples(n_samples, pis, eps=0.01, n_sites=1200, cov=25, with_reads=False):
     batches, hists = [], []
     for i in range(n_samples):
         counts = simulate_diploid_counts(
             n_sites, coverage=cov, pi=pis[i], eps=eps, seed=100 + i
         )
-        b = parse_pileup(make_pileup_text(counts), backend="python")
+        b = parse_pileup(
+            make_pileup_text(counts, with_qualities=with_reads),
+            with_reads, with_reads, backend="python",
+        )
         batches.append(b)
         p, m, _ = unique_profiles(b.counts)
         fp, fm, _ = filter_min_coverage(p, m, 4)
@@ -52,16 +55,86 @@ class TestFitPopulation:
 
 
 class TestCallPopulation:
-    @pytest.mark.parametrize("method", ["local", "bayes"])
+    @pytest.mark.parametrize(
+        "method", ["local", "bayes", "likelihood_ratio", "quality"]
+    )
     def test_per_sample_calls(self, method):
-        batches, _ = make_samples(3, pis=[0.002, 0.02, 0.06])
-        results = call_population(batches, Options(method=method), mode="pooled")
+        with_reads = method == "quality"
+        batches, _ = make_samples(
+            3, pis=[0.002, 0.02, 0.06], with_reads=with_reads
+        )
+        opts = Options(method=method, estimate_prior=(method == "likelihood_ratio"))
+        results = call_population(batches, opts, mode="pooled")
         assert len(results) == 3
         het_counts = [int(r.is_het.sum()) for r in results]
         # more heterozygous samples should yield more het calls
         assert het_counts[0] <= het_counts[1] <= het_counts[2]
         for r, b in zip(results, batches):
-            if method == "local":
+            if method in ("local", "quality"):
                 assert r.num_records == b.num_sites
             csv = r.to_csv()
             assert csv.startswith("chrom,pos,")
+
+    def test_lr_single_sample_matches_standalone(self):
+        # one sample, independent fit: population LR must agree with the
+        # standalone likelihood_ratio pipeline (same fit, same BH domain)
+        from sid_tpu.engine import call_batch
+
+        counts = simulate_diploid_counts(1500, coverage=20, pi=0.02, eps=0.01, seed=5)
+        b = parse_pileup(make_pileup_text(counts), backend="python")
+        opts = Options(method="likelihood_ratio", estimate_prior=True)
+        standalone = call_batch(b, opts).to_csv()
+        pop = call_population([b], opts, mode="independent")[0].to_csv()
+        assert pop == standalone
+
+    def test_quality_single_sample_matches_standalone_prior(self):
+        # population quality = standalone quality with the fitted pi prior
+        from sid_tpu.engine import call_batch
+
+        counts = simulate_diploid_counts(800, coverage=20, pi=0.03, eps=0.01, seed=6)
+        b = parse_pileup(
+            make_pileup_text(counts, with_qualities=True), True, True,
+            backend="python",
+        )
+        pop = call_population(
+            [b], Options(method="quality"), mode="independent"
+        )[0].to_csv()
+        standalone = call_batch(
+            b, Options(method="quality", estimate_prior=True)
+        ).to_csv()
+        assert pop == standalone
+
+
+class TestStreamingPopulation:
+    @pytest.mark.parametrize(
+        "method", ["local", "bayes", "likelihood_ratio", "quality"]
+    )
+    def test_streamed_matches_in_memory(self, method, tmp_path):
+        from sid_tpu.models.population import call_population_streaming
+
+        with_reads = method == "quality"
+        batches, _ = make_samples(
+            2, pis=[0.01, 0.04], n_sites=600, with_reads=with_reads
+        )
+        texts = []
+        for i, pi in enumerate([0.01, 0.04]):
+            counts = simulate_diploid_counts(
+                600, coverage=25, pi=pi, eps=0.01, seed=100 + i
+            )
+            texts.append(
+                make_pileup_text(counts, with_qualities=with_reads)
+            )
+        paths = []
+        for i, t in enumerate(texts):
+            p = tmp_path / f"s{i}.pileup"
+            p.write_bytes(t)
+            paths.append(str(p))
+        opts = Options(method=method)
+        emitted = call_population_streaming(
+            paths, opts, mode="pooled", chunk_bytes=1 << 13
+        )
+        in_memory = call_population(batches, opts, mode="pooled")
+        for path, n, res in zip(paths, emitted, in_memory):
+            got = open(path + ".calls.csv").read()
+            assert got == res.to_csv()
+            assert n == res.num_records
