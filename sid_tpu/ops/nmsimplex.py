@@ -38,10 +38,14 @@ class NmResult(NamedTuple):
 
 
 def _compute_center_size(x1):
+    # op-for-op the NumPy spec's _compute_center/_compute_size (which follow
+    # GSL): multiply by the reciprocal, per-corner sqrt-then-square — the
+    # trace-equality tests require bitwise-identical rounding
     p = x1.shape[0]
-    center = jnp.sum(x1, axis=0) / p
+    center = jnp.sum(x1, axis=0) * (1.0 / p)
     d = x1 - center
-    ss = jnp.sum(jnp.sum(d * d, axis=1))
+    t = jnp.sqrt(jnp.sum(d * d, axis=1))
+    ss = jnp.sum(t * t)
     return center, ss / p
 
 
@@ -72,11 +76,28 @@ def _hi_shi_lo(y1):
     return hi, s_hi, lo
 
 
+def _no_fma_add(a, b):
+    """a + b with both products pinned behind an optimization barrier.
+
+    Pins the spec's evaluation order against HLO-level reassociation. Note
+    the backend may STILL contract mul+add into an FMA at codegen (LLVM
+    excess precision) — a value-changing, backend-dependent ulp effect the
+    trace-equality tests neutralize by running with
+    ``--xla_backend_optimization_level=0`` (see tests/nm_trace_tool.py).
+    With contraction off, this implementation is bitwise-identical to the
+    NumPy spec step-for-step; with it on, trajectories may part at the ulp
+    level while the fitted optimum still agrees at the 1e-5 size tolerance
+    (the CSV-parity tests pin that end-to-end).
+    """
+    a, b = jax.lax.optimization_barrier((a, b))
+    return a + b
+
+
 def _try_corner_move(coeff, state: NmState, corner):
     p = state.x1.shape[0]
     alpha = (1.0 - coeff) * p / (p - 1.0)
     beta = (coeff * p - 1.0) / (p - 1.0)
-    return alpha * state.center + beta * state.x1[corner]
+    return _no_fma_add(alpha * state.center, beta * state.x1[corner])
 
 
 def _update_point(state: NmState, i, x, val) -> NmState:
@@ -84,15 +105,96 @@ def _update_point(state: NmState, i, x, val) -> NmState:
     x_old = state.x1[i]
     delta = x - x_old
     xmc = x_old - state.center
-    d2 = jnp.sum(delta * delta)
+    d = jnp.sqrt(jnp.sum(delta * delta))  # sqrt-then-square, as GSL/spec do
     xmcd = jnp.sum(xmc * delta)
-    s2 = state.s2 + (2.0 / p) * xmcd + ((p - 1.0) / p) * (d2 / p)
-    center = state.center - (1.0 / p) * x_old + (1.0 / p) * x
+    # parenthesized like the spec: the two-term increment sums first
+    s2 = state.s2 + _no_fma_add((2.0 / p) * xmcd, ((p - 1.0) / p) * (d * d / p))
+    t_old, t_new = jax.lax.optimization_barrier(
+        ((1.0 / p) * x_old, (1.0 / p) * x)
+    )
+    center = state.center - t_old + t_new
     return state._replace(
         x1=state.x1.at[i].set(x),
         y1=state.y1.at[i].set(val),
         center=center,
         s2=s2,
+    )
+
+
+def nm_init(f: Callable, x0: jnp.ndarray, step: jnp.ndarray) -> NmState:
+    """Initial simplex state (x0 plus one step along each axis)."""
+    x0 = jnp.asarray(x0, jnp.float64)
+    step = jnp.asarray(step, jnp.float64)
+    p = x0.shape[0] + 1
+    corners = jnp.concatenate(
+        [x0[None, :], x0[None, :] + jnp.diag(step)], axis=0
+    )  # (P, N)
+    y1 = jnp.stack([f(corners[i]) for i in range(p)])
+    center, s2 = _compute_center_size(corners)
+    return NmState(corners, y1, center, s2, jnp.int32(0), jnp.array(False))
+
+
+def nm_iterate(f: Callable, state: NmState) -> NmState:
+    """One nmsimplex2 step (module-level so tests can trace step-by-step)."""
+    p = state.x1.shape[0]
+    hi, s_hi, lo = _hi_shi_lo(state.y1)
+    xc = _try_corner_move(-1.0, state, hi)
+    val = f(xc)
+    y_lo = state.y1[lo]
+    y_shi = state.y1[s_hi]
+    y_hi = state.y1[hi]
+
+    def branch_expand(st: NmState) -> NmState:
+        xc2 = _try_corner_move(-2.0, st, hi)
+        val2 = f(xc2)
+        take2 = jnp.isfinite(val2) & (val2 < y_lo)
+        return jax.lax.cond(
+            take2,
+            lambda s: _update_point(s, hi, xc2, val2),
+            lambda s: _update_point(s, hi, xc, val),
+            st,
+        )
+
+    def branch_contract(st: NmState) -> NmState:
+        # accept reflection first if it at least beats the highest point
+        st = jax.lax.cond(
+            jnp.isfinite(val) & (val <= y_hi),
+            lambda s: _update_point(s, hi, xc, val),
+            lambda s: s,
+            st,
+        )
+        xc2 = _try_corner_move(0.5, st, hi)
+        val2 = f(xc2)
+
+        def one_dim(s: NmState) -> NmState:
+            return _update_point(s, hi, xc2, val2)
+
+        def contract_all(s: NmState) -> NmState:
+            # contract every non-best corner toward the best, re-evaluate
+            best_x = s.x1[lo]
+            new_x1 = 0.5 * (s.x1 + best_x[None, :])
+            new_x1 = new_x1.at[lo].set(best_x)
+            new_y1 = jnp.stack(
+                [
+                    jnp.where(jnp.int32(i) == lo, s.y1[i], f(new_x1[i]))
+                    for i in range(p)
+                ]
+            )
+            center2, s2_2 = _compute_center_size(new_x1)
+            return s._replace(x1=new_x1, y1=new_y1, center=center2, s2=s2_2)
+
+        return jax.lax.cond(
+            jnp.isfinite(val2) & (val2 <= st.y1[hi]), one_dim, contract_all, st
+        )
+
+    def branch_accept(st: NmState) -> NmState:
+        return _update_point(st, hi, xc, val)
+
+    b1 = jnp.isfinite(val) & (val < y_lo)
+    b2 = (~jnp.isfinite(val)) | (val > y_shi)
+    branch_idx = jnp.where(b1, 0, jnp.where(b2, 1, 2))
+    return jax.lax.switch(
+        branch_idx, [branch_expand, branch_contract, branch_accept], state
     )
 
 
@@ -104,81 +206,10 @@ def minimize_nmsimplex2_jax(
     max_iterations: int = 1000,
 ) -> NmResult:
     """Minimize ``f`` with the nmsimplex2 rule, fully on device."""
-    x0 = jnp.asarray(x0, jnp.float64)
-    step = jnp.asarray(step, jnp.float64)
-    n = x0.shape[0]
-    p = n + 1
-
-    corners = jnp.concatenate(
-        [x0[None, :], x0[None, :] + jnp.diag(step)], axis=0
-    )  # (P, N)
-    y1 = jnp.stack([f(corners[i]) for i in range(p)])
-    center, s2 = _compute_center_size(corners)
-    state = NmState(
-        corners, y1, center, s2,
-        jnp.int32(0), jnp.array(False),
-    )
+    state = nm_init(f, x0, step)
 
     def iterate(state: NmState) -> NmState:
-        hi, s_hi, lo = _hi_shi_lo(state.y1)
-        xc = _try_corner_move(-1.0, state, hi)
-        val = f(xc)
-        y_lo = state.y1[lo]
-        y_shi = state.y1[s_hi]
-        y_hi = state.y1[hi]
-
-        def branch_expand(st: NmState) -> NmState:
-            xc2 = _try_corner_move(-2.0, st, hi)
-            val2 = f(xc2)
-            take2 = jnp.isfinite(val2) & (val2 < y_lo)
-            return jax.lax.cond(
-                take2,
-                lambda s: _update_point(s, hi, xc2, val2),
-                lambda s: _update_point(s, hi, xc, val),
-                st,
-            )
-
-        def branch_contract(st: NmState) -> NmState:
-            # accept reflection first if it at least beats the highest point
-            st = jax.lax.cond(
-                jnp.isfinite(val) & (val <= y_hi),
-                lambda s: _update_point(s, hi, xc, val),
-                lambda s: s,
-                st,
-            )
-            xc2 = _try_corner_move(0.5, st, hi)
-            val2 = f(xc2)
-
-            def one_dim(s: NmState) -> NmState:
-                return _update_point(s, hi, xc2, val2)
-
-            def contract_all(s: NmState) -> NmState:
-                # contract every non-best corner toward the best, re-evaluate
-                best_x = s.x1[lo]
-                new_x1 = 0.5 * (s.x1 + best_x[None, :])
-                new_x1 = new_x1.at[lo].set(best_x)
-                new_y1 = jnp.stack(
-                    [
-                        jnp.where(jnp.int32(i) == lo, s.y1[i], f(new_x1[i]))
-                        for i in range(p)
-                    ]
-                )
-                center2, s2_2 = _compute_center_size(new_x1)
-                return s._replace(x1=new_x1, y1=new_y1, center=center2, s2=s2_2)
-
-            return jax.lax.cond(
-                jnp.isfinite(val2) & (val2 <= st.y1[hi]), one_dim, contract_all, st
-            )
-
-        def branch_accept(st: NmState) -> NmState:
-            return _update_point(st, hi, xc, val)
-
-        b1 = jnp.isfinite(val) & (val < y_lo)
-        b2 = (~jnp.isfinite(val)) | (val > y_shi)
-        branch_idx = jnp.where(b1, 0, jnp.where(b2, 1, 2))
-        return jax.lax.switch(
-            branch_idx, [branch_expand, branch_contract, branch_accept], state
-        )
+        return nm_iterate(f, state)
 
     def cond(state: NmState):
         return (~state.converged) & (state.iterations < max_iterations)
