@@ -186,15 +186,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if options.stream:
         f.close()
         if options.output in ("-", ""):
+            out_stream = getattr(sys.stdout, "buffer", sys.stdout)
             n = engine.run_streaming(
-                input_path, options, sys.stdout, diag,
+                input_path, options, out_stream, diag,
                 chunk_bytes=options.chunk_mb << 20,
                 checkpoint=options.checkpoint, resume=options.resume,
             )
         else:
             from sid_tpu.utils.checkpoint import StreamProgress
 
-            mode = "r+" if options.resume and __import__("os").path.exists(options.output) else "w"
+            mode = "r+b" if options.resume and __import__("os").path.exists(options.output) else "wb"
             with open(options.output, mode) as out:
                 n = engine.run_streaming(
                     input_path, options, out, diag,
@@ -208,17 +209,22 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         try:
             f.close()  # engine takes the path (enables the chunk pipeline)
-            csv = engine.run(input_path, options, diag)
+            csv = engine.run(input_path, options, diag, binary=True)
         except SidParseError as e:
             # the reference dies on the uncaught std::invalid_argument; we
             # report the same message with the offending line number
             print(f"{e} (line {e.line_number})", file=sys.stderr)
             sys.exit(1)
-        prof.count("sites", max(csv.count("\n") - 1, 0))
+        prof.count("sites", max(csv.count(b"\n") - 1, 0))
         if options.output in ("-", ""):
-            sys.stdout.write(csv)
+            buf = getattr(sys.stdout, "buffer", None)
+            if buf is not None:
+                buf.write(csv)
+                buf.flush()
+            else:
+                sys.stdout.write(csv.decode("latin1"))
         else:
-            with open(options.output, "w") as out:
+            with open(options.output, "wb") as out:
                 out.write(csv)
     if options.profile:
         prof.report(log=lambda l: print(l, file=sys.stderr))
@@ -292,8 +298,8 @@ def _main_population(options: Options, paths: List[str]) -> int:
     results = call_population(batches, options, mode=options.population, diag=diag)
     for p, res in zip(paths, results):
         out_path = p + ".calls.csv"
-        with open(out_path, "w") as out:
-            out.write(res.to_csv())
+        with open(out_path, "wb") as out:
+            out.write(res.to_csv_bytes())
         diag(f"# wrote {out_path} ({res.num_records} records)")
     return 0
 

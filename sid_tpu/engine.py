@@ -54,19 +54,24 @@ def run(
     src,
     options: Optional[Options] = None,
     diag: Optional[Callable[[str], None]] = None,
-) -> str:
-    """Parse + call + serialize: the whole tool as a function returning CSV."""
+    binary: bool = False,
+):
+    """Parse + call + serialize: the whole tool as a function returning CSV.
+
+    ``binary=True`` returns bytes from the native serializer with no
+    transcoding (the CLI's path); default returns str.
+    """
     from sid_tpu.utils import profiling
 
     options = options or Options()
     if isinstance(src, (bytes, bytearray)) and _pipeline_eligible(options, len(src)):
-        return _run_pipelined_single_pass(bytes(src), options, diag)
+        return _run_pipelined_single_pass(bytes(src), options, diag, binary)
     import os as _os
 
     if isinstance(src, (str, _os.PathLike)) and _pipeline_eligible(
         options, _os.path.getsize(src)
     ):
-        return _run_pipelined_single_pass(src, options, diag)
+        return _run_pipelined_single_pass(src, options, diag, binary)
     needs_reads = options.method == "quality"
     with profiling.maybe_stage("parse"):
         batch = parse_pileup(
@@ -80,9 +85,10 @@ def run(
     if result is None:
         from sid_tpu.models.common import CSV_HEADER
 
-        return CSV_HEADER + "\n"
+        header = CSV_HEADER + "\n"
+        return header.encode() if binary else header
     with profiling.maybe_stage("serialize"):
-        return result.to_csv()
+        return result.to_csv_bytes() if binary else result.to_csv()
 
 
 def run_streaming(
@@ -122,9 +128,15 @@ def run_streaming(
 
     if not isinstance(src, (str, bytes, _os.PathLike)):
         raise TypeError("run_streaming needs a re-readable source (path or bytes)")
+    import io as _io
+
     options = options or Options()
     out = out or sys.stdout
-    write = (lambda s: out.write(s.encode())) if "b" in getattr(out, "mode", "") else out.write
+    is_binary = "b" in getattr(out, "mode", "") or isinstance(
+        out, (_io.RawIOBase, _io.BufferedIOBase)
+    )
+    # binary sinks take the serializer's bytes untranscoded; text sinks decode
+    write = out.write if is_binary else (lambda b: out.write(b.decode("latin1")))
     method = options.method
 
     start_chunk = 0
@@ -142,7 +154,7 @@ def run_streaming(
             except (OSError, ValueError):
                 pass
     if start_chunk == 0:
-        write(common.CSV_HEADER + "\n")
+        write((common.CSV_HEADER + "\n").encode())
     if method not in ("local", "bayes", "likelihood_ratio", "quality"):
         return 0  # header-only, like the reference's unknown-method path
 
@@ -221,7 +233,7 @@ def run_streaming(
             res = call_quality(batch, opts)
         else:
             res = common.join_class_table(batch, keys, cls, conf_type)
-        write(res.to_csv(include_header=False))
+        write(res.to_csv_bytes(include_header=False))
         emitted += res.num_records
         if progress is not None:
             out.flush()
@@ -242,7 +254,7 @@ _PIPELINE_THRESHOLD_BYTES = int(_os_env.environ.get("SIDTPU_PIPELINE_MB", "1024"
 _PIPELINE_CHUNK_BYTES = 128 << 20
 
 
-def _run_pipelined_single_pass(data, options: Options, diag) -> str:
+def _run_pipelined_single_pass(data, options: Options, diag, binary: bool = False):
     """Overlapped chunk pipeline for per-site/per-profile methods.
 
     For ``local``/``quality`` without an estimated prior, classification is
@@ -261,11 +273,14 @@ def _run_pipelined_single_pass(data, options: Options, diag) -> str:
     def parse(chunk):
         return parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend)
 
-    def process(batch) -> str:
+    def process(batch):
         result = call_batch(batch, options, diag)
+        if binary:
+            return result.to_csv_bytes(include_header=False)
         return result.to_csv(include_header=False)
 
-    parts = [CSV_HEADER + "\n"]
+    header = CSV_HEADER + "\n"
+    parts = [header.encode() if binary else header]
     with profiling.maybe_stage("pipeline"), ThreadPoolExecutor(1) as ex:
         it = iter_chunks(data, _PIPELINE_CHUNK_BYTES)
         first = next(it, None)
@@ -277,7 +292,7 @@ def _run_pipelined_single_pass(data, options: Options, diag) -> str:
             parts.append(process(fut.result()))
             fut = nxt
         parts.append(process(fut.result()))
-    return "".join(parts)
+    return (b"" if binary else "").join(parts)
 
 
 def _pipeline_eligible(options: Options, size: int) -> bool:

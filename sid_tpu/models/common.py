@@ -118,13 +118,25 @@ class CallResult:
     def to_csv(self, include_header: bool = True) -> str:
         native = self._to_csv_native(include_header)
         if native is not None:
-            return native
+            return native.decode("latin1")
         lines = self.to_csv_lines()
         head = [CSV_HEADER] if include_header else []
         body = head + lines
         return "\n".join(body) + "\n" if body else ""
 
-    def _to_csv_native(self, include_header: bool) -> Optional[str]:
+    def to_csv_bytes(self, include_header: bool = True) -> bytes:
+        """CSV as bytes — the zero-transcode path for file/stdout output.
+
+        The native serializer produces ASCII bytes; returning them directly
+        skips a latin1 decode plus the eventual re-encode on write (~80 MB
+        of transcoding per 1M sites).
+        """
+        native = self._to_csv_native(include_header)
+        if native is not None:
+            return native
+        return self.to_csv(include_header).encode("latin1")
+
+    def _to_csv_native(self, include_header: bool) -> Optional[bytes]:
         """Multithreaded C++ serializer (glibc %g == ostream default)."""
         try:
             from sid_tpu.io import native as native_mod
@@ -174,7 +186,7 @@ class CallResult:
                 n, int(include_header), 0, ctypes.byref(out),
             )
         try:
-            return ctypes.string_at(out, length).decode("latin1")
+            return ctypes.string_at(out, length)
         finally:
             lib.sidtpu_buffer_free(out)
 

@@ -262,8 +262,8 @@ def call_population_streaming(
             )
             src = filter_min_coverage(profiles, mult, 4)[0] if filtered else profiles
             keys = pack_profiles(src)
-        with open(out_path, "w") as out:
-            out.write(common.CSV_HEADER + "\n")
+        with open(out_path, "wb") as out:
+            out.write((common.CSV_HEADER + "\n").encode())
             for chunk in iter_chunks(path, chunk_bytes):
                 batch = parse_pileup(
                     chunk, needs_reads, needs_reads, backend=options.io_backend
@@ -274,7 +274,7 @@ def call_population_streaming(
                     res = call_quality(batch, opts)
                 else:
                     res = common.join_class_table(batch, keys, cls, conf_type)
-                out.write(res.to_csv(include_header=False))
+                out.write(res.to_csv_bytes(include_header=False))
                 emitted += res.num_records
         if diag:
             diag(f"# wrote {out_path} ({emitted} records)")

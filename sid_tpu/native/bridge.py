@@ -142,6 +142,46 @@ def _configure_writer(lib):
     lib._sidtpu_writer_configured = True
 
 
+def unique_profiles_native(lib, counts: np.ndarray):
+    """Threaded unique-profile histogram through libsidtpu.
+
+    Returns (profiles (U,4) int32 sorted, mult (U,) int64, inverse (N,)
+    int64) — identical contract to ops.profiles._unique_profiles_np.
+    """
+    if not getattr(lib, "_sidtpu_unique_configured", False):
+        lib.sidtpu_unique_profiles.restype = ctypes.c_void_p
+        lib.sidtpu_unique_profiles.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.sidtpu_unique_num_classes.restype = ctypes.c_int64
+        lib.sidtpu_unique_num_classes.argtypes = [ctypes.c_void_p]
+        for name in (
+            "sidtpu_unique_class_profiles", "sidtpu_unique_class_mult",
+            "sidtpu_unique_inverse",
+        ):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_void_p
+            fn.argtypes = [ctypes.c_void_p]
+        lib.sidtpu_unique_free.restype = None
+        lib.sidtpu_unique_free.argtypes = [ctypes.c_void_p]
+        lib._sidtpu_unique_configured = True
+    arr = np.ascontiguousarray(counts, np.uint16)
+    n = arr.shape[0]
+    res = lib.sidtpu_unique_profiles(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n, 0
+    )
+    try:
+        u = lib.sidtpu_unique_num_classes(res)
+        profiles = _as_array(
+            lib.sidtpu_unique_class_profiles, res, ctypes.c_uint16, u * 4, np.int32
+        ).reshape(-1, 4)
+        mult = _as_array(lib.sidtpu_unique_class_mult, res, ctypes.c_int64, u, np.int64)
+        inverse = _as_array(lib.sidtpu_unique_inverse, res, ctypes.c_int32, n, np.int64)
+        return profiles, mult, inverse
+    finally:
+        lib.sidtpu_unique_free(res)
+
+
 def erfc_libm(lib, x: np.ndarray) -> np.ndarray:
     """Batched glibc erfc through libsidtpu (the exact_pvalues path)."""
     if not getattr(lib, "_sidtpu_erfc_configured", False):

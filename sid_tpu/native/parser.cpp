@@ -16,6 +16,7 @@
 // C ABI (ctypes): sidtpu_parse() returns an opaque result; accessors expose
 // the columnar arrays; sidtpu_free() releases.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -23,6 +24,10 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -81,6 +86,59 @@ inline int tokenize(const char* s, const char* end, Tok* toks, int max_toks) {
   }
   return k;
 }
+
+#if defined(__AVX2__)
+// SIMD tokenizer: 32-byte separator bitmasks (cmpeq ' '/'\t' + movemask),
+// token boundaries extracted with tzcnt over the mask bits. Stops as soon
+// as max_toks tokens are delimited, so counts-only parsing never touches
+// the quality columns' bytes. Falls back to the scalar loop when the
+// 32-byte overread would cross the parse buffer's end.
+inline int tokenize_avx2(const char* s, const char* line_end,
+                         const char* hard_end, Tok* toks, int max_toks) {
+  if (line_end + 32 > hard_end)
+    return tokenize(s, line_end, toks, max_toks);
+  const __m256i vsp = _mm256_set1_epi8(' ');
+  const __m256i vtb = _mm256_set1_epi8('\t');
+  const size_t len = static_cast<size_t>(line_end - s);
+  int k = 0;
+  size_t tok_start = 0;
+  bool in_tok = false;
+  for (size_t i = 0; i < len; i += 32) {
+    const __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(s + i));
+    uint32_t sep = static_cast<uint32_t>(_mm256_movemask_epi8(
+        _mm256_or_si256(_mm256_cmpeq_epi8(v, vsp), _mm256_cmpeq_epi8(v, vtb))));
+    if (len - i < 32)  // pad bits beyond the line as separators
+      sep |= ~((1u << (len - i)) - 1u);
+    uint32_t rem = 0xFFFFFFFFu;  // bits of this chunk not yet consumed
+    for (;;) {
+      if (!in_tok) {
+        const uint32_t cand = ~sep & rem;
+        if (cand == 0) break;  // rest of chunk is separators
+        const uint32_t pos = static_cast<uint32_t>(__builtin_ctz(cand));
+        tok_start = i + pos;
+        in_tok = true;
+        rem = static_cast<uint32_t>(0xFFFFFFFFull << (pos + 1));
+      } else {
+        const uint32_t cand = sep & rem;
+        if (cand == 0) break;  // token continues into the next chunk
+        const uint32_t pos = static_cast<uint32_t>(__builtin_ctz(cand));
+        toks[k].p = s + tok_start;
+        toks[k].n = i + pos - tok_start;
+        in_tok = false;
+        if (++k == max_toks) return k;
+        rem = static_cast<uint32_t>(0xFFFFFFFFull << (pos + 1));
+      }
+    }
+  }
+  if (in_tok && k < max_toks) {  // line length a multiple of 32: close token
+    toks[k].p = s + tok_start;
+    toks[k].n = len - tok_start;
+    ++k;
+  }
+  return k;
+}
+#endif  // __AVX2__
 
 inline int32_t parse_atoi(const char* p, size_t n) {
   size_t i = 0;
@@ -144,6 +202,37 @@ struct CountTables {
 };
 const CountTables kCountTables;
 
+// Per-reference-byte full classification for the read-materializing path:
+// bits 0-1 code, bit 2 strand, bit 3 is-base, bit 4 '^' escape, bit 5
+// '+'/'-' indel escape ('.'/',' pre-resolved through toupper/tolower of the
+// reference, exactly the spec's substitute-then-classify order).
+struct FullTables {
+  uint8_t t[256][256];
+  FullTables() {
+    for (int ref = 0; ref < 256; ++ref) {
+      uint8_t up = to_upper_ascii(static_cast<uint8_t>(ref));
+      uint8_t lo = to_lower_ascii(static_cast<uint8_t>(ref));
+      for (int b = 0; b < 256; ++b) {
+        uint8_t eff = static_cast<uint8_t>(b);
+        if (eff == '.') eff = up;
+        else if (eff == ',') eff = lo;
+        int strand;
+        int code = base_code(eff, &strand);
+        uint8_t v = 0;
+        if (code >= 0) {
+          v = static_cast<uint8_t>(code | (strand << 2) | 8);
+        } else if (eff == '^') {
+          v = 16;
+        } else if (eff == '+' || eff == '-') {
+          v = 32;
+        }
+        t[ref][b] = v;
+      }
+    }
+  }
+};
+const FullTables kFullTables;
+
 // counts-only fast path: no escapes possible in the token
 inline void count_bases_fast(const char* s, size_t n, uint8_t ref,
                              uint16_t counts[4]) {
@@ -161,27 +250,100 @@ inline void count_bases_fast(const char* s, size_t n, uint8_t ref,
     counts[k] = static_cast<uint16_t>(counts[k] + cnt[k]);
 }
 
-// parse one read-bases token; appends codes/strands, fills counts[4]
+#if defined(__AVX2__)
+// SIMD counts-only pass: one sweep classifies 32 bytes at a time with
+// compare+movemask+popcount against the 8 base letters plus '.'/',' and
+// simultaneously screens for '^'/'+'/'-' escapes (returns false so the
+// caller re-parses with the scalar grammar path — escapes change counting
+// semantics, pileup.cpp:125-147). The final partial chunk is handled with a
+// validity mask; requires the 32-byte overread to stay inside the parse
+// buffer (hard_end), which holds for every token except ones near the very
+// end of the buffer.
+inline bool count_bases_avx2(const char* s, size_t n, const char* hard_end,
+                             uint8_t ref, uint16_t counts[4]) {
+  if (s + ((n + 31) & ~static_cast<size_t>(31)) > hard_end) return false;
+  const __m256i tA = _mm256_set1_epi8('A'), ta = _mm256_set1_epi8('a');
+  const __m256i tC = _mm256_set1_epi8('C'), tc = _mm256_set1_epi8('c');
+  const __m256i tG = _mm256_set1_epi8('G'), tg = _mm256_set1_epi8('g');
+  const __m256i tT = _mm256_set1_epi8('T'), tt = _mm256_set1_epi8('t');
+  const __m256i tdot = _mm256_set1_epi8('.'), tcom = _mm256_set1_epi8(',');
+  const __m256i thead = _mm256_set1_epi8('^');
+  const __m256i tplus = _mm256_set1_epi8('+'), tminus = _mm256_set1_epi8('-');
+  uint32_t acc[10] = {0};
+  for (size_t i = 0; i < n; i += 32) {
+    const __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(s + i));
+    const uint32_t valid =
+        (n - i >= 32) ? 0xFFFFFFFFu
+                      : ((1u << (n - i)) - 1u);
+    const __m256i esc = _mm256_or_si256(
+        _mm256_cmpeq_epi8(v, thead),
+        _mm256_or_si256(_mm256_cmpeq_epi8(v, tplus),
+                        _mm256_cmpeq_epi8(v, tminus)));
+    if (static_cast<uint32_t>(_mm256_movemask_epi8(esc)) & valid) return false;
+    acc[0] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tA))) & valid));
+    acc[1] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tC))) & valid));
+    acc[2] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tG))) & valid));
+    acc[3] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tT))) & valid));
+    acc[4] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, ta))) & valid));
+    acc[5] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tc))) & valid));
+    acc[6] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tg))) & valid));
+    acc[7] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tt))) & valid));
+    acc[8] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tdot))) & valid));
+    acc[9] += static_cast<uint32_t>(__builtin_popcount(
+        static_cast<uint32_t>(_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, tcom))) & valid));
+  }
+  uint32_t cnt[5] = {acc[0] + acc[4], acc[1] + acc[5], acc[2] + acc[6],
+                     acc[3] + acc[7], 0};
+  cnt[kCountTables.t[ref]['.']] += acc[8];  // '.' -> toupper(ref) code or 4
+  cnt[kCountTables.t[ref][',']] += acc[9];  // ',' -> tolower(ref) code or 4
+  for (int k = 0; k < 4; ++k)
+    counts[k] = static_cast<uint16_t>(counts[k] + cnt[k]);
+  return true;
+}
+#endif  // __AVX2__
+
+// parse one read-bases token; appends codes/strands, fills counts[4].
+// Single packed-table lookup per byte ('.'/',' resolution, code, strand,
+// escape class all folded into kFullTables); when materializing reads the
+// outputs are written through raw pointers into pre-grown vectors — the
+// per-byte push_back capacity checks were the with-reads path's bottleneck.
 inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
                              bool want_reads, Shard& out) {
   const char* s = t.p;
   const size_t n = t.n;
-  uint8_t ref_up = to_upper_ascii(ref), ref_lo = to_lower_ascii(ref);
+  const uint8_t* tbl = kFullTables.t[ref];
+  int8_t* code_w = nullptr;
+  uint8_t* strand_w = nullptr;
+  size_t w = 0;
+  if (want_reads) {
+    w = out.read_code.size();
+    out.read_code.resize(w + n);  // upper bound; shrunk to fit below
+    out.read_strand.resize(w + n);
+    code_w = out.read_code.data();
+    strand_w = out.read_strand.data();
+  }
   for (size_t i = 0; i < n; ++i) {
-    uint8_t b = static_cast<uint8_t>(s[i]);
-    if (b == '.') b = ref_up;
-    else if (b == ',') b = ref_lo;
-    int strand;
-    int code = base_code(b, &strand);
-    if (code >= 0) {
-      counts[code] = static_cast<uint16_t>(counts[code] + 1);
+    const uint8_t c = tbl[static_cast<uint8_t>(s[i])];
+    if (c & 8) {  // ACGT (or resolved './,')
+      counts[c & 3] = static_cast<uint16_t>(counts[c & 3] + 1);
       if (want_reads) {
-        out.read_code.push_back(static_cast<int8_t>(code));
-        out.read_strand.push_back(static_cast<uint8_t>(strand));
+        code_w[w] = static_cast<int8_t>(c & 3);
+        strand_w[w] = (c >> 2) & 1;
+        ++w;
       }
-    } else if (b == '^') {
-      ++i;  // skip the mapping-quality char
-    } else if (b == '+' || b == '-') {
+    } else if (c & 16) {  // '^' skips the following mapping-quality char
+      ++i;
+    } else if (c & 32) {  // '+'/'-' indel
       if (i + 1 < n && s[i + 1] >= '0' && s[i + 1] <= '9') {
         size_t j = i + 1;
         uint64_t length = 0;
@@ -199,37 +361,37 @@ inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
     }
     // everything else ('$', '*', 'N', '<', '>', ...) dropped
   }
-}
-
-// decode a quality token: (byte-33) mod 256, clamped to >= 1
-inline void parse_qualities(const Tok& t, std::vector<uint8_t>& out) {
-  out.clear();
-  out.reserve(t.n);
-  for (size_t i = 0; i < t.n; ++i) {
-    uint8_t b = static_cast<uint8_t>(t.p[i]);
-    if (b == '\t' || b == '\n') break;  // cannot occur post-tokenize
-    uint8_t q = static_cast<uint8_t>(b - 33);
-    out.push_back(q < 1 ? 1 : q);
+  if (want_reads) {
+    out.read_code.resize(w);
+    out.read_strand.resize(w);
   }
 }
 
-void parse_range(const char* data, const char* end, bool want_bq, bool want_mq,
-                 bool strict, Shard& out) {
+// (quality decoding — (byte-33) mod 256 clamped to >= 1, pileup.cpp:155-167
+// — is inlined at the use site in parse_range: only the first nb bytes of
+// each token are needed, paired positionally with the surviving bases)
+
+void parse_range(const char* data, const char* end, const char* hard_end,
+                 bool want_bq, bool want_mq, bool strict, Shard& out) {
   const bool want_reads = want_bq || want_mq;
   Tok toks[8];
-  std::vector<uint8_t> bqv, mqv;
   const char* line = data;
   int64_t line_no = 0;
+  // chrom pos ref cov bases [bq] [mq]; the bq column is positional even
+  // when unparsed (the reference always consumes it). Tokenization stops at
+  // `needed` tokens, so counts-only parsing never scans the quality columns.
+  const int needed = want_mq ? 7 : (want_bq ? 6 : 5);
   while (line < end) {
     const char* nl = static_cast<const char*>(
         memchr(line, '\n', static_cast<size_t>(end - line)));
     const char* line_end = nl ? nl : end;
     ++line_no;
     if (line_end > line) {  // skip empty lines
-      int nt = tokenize(line, line_end, toks, 8);
-      // chrom pos ref cov bases [bq] [mq]; the bq column is positional even
-      // when unparsed (the reference always consumes it)
-      int needed = want_mq ? 7 : (want_bq ? 6 : 5);
+#if defined(__AVX2__)
+      int nt = tokenize_avx2(line, line_end, hard_end, toks, needed);
+#else
+      int nt = tokenize(line, line_end, toks, needed);
+#endif
       bool bad_ref = nt >= 3 && toks[2].n != 1;
       if (nt < needed || bad_ref) {
         out.err_line.push_back(line_no);
@@ -248,30 +410,52 @@ void parse_range(const char* data, const char* end, bool want_bq, bool want_mq,
         out.ref_base.push_back(ref);
         uint16_t counts[4] = {0, 0, 0, 0};
         size_t reads_before = out.read_code.size();
-        // the fast path is grammar-exact only when no escape characters can
-        // appear after './,' substitution: a reference byte of '^'/'+'/'-'
-        // would turn substituted dots into escapes (pileup.cpp:78-83 then
-        // :125-147 semantics), so those lines take the scalar path
-        bool fast = !want_reads &&
-            ref != '^' && ref != '+' && ref != '-' &&
-            memchr(toks[4].p, '^', toks[4].n) == nullptr &&
-            memchr(toks[4].p, '+', toks[4].n) == nullptr &&
-            memchr(toks[4].p, '-', toks[4].n) == nullptr;
-        if (fast) {
-          count_bases_fast(toks[4].p, toks[4].n, ref, counts);
-        } else {
+        // the fast paths are grammar-exact only when no escape characters
+        // can appear after './,' substitution: a reference byte of
+        // '^'/'+'/'-' would turn substituted dots into escapes
+        // (pileup.cpp:78-83 then :125-147), so those lines take the scalar
+        // grammar path
+        bool counted = false;
+        bool ref_ok = ref != '^' && ref != '+' && ref != '-';
+        if (!want_reads && ref_ok) {
+#if defined(__AVX2__)
+          counted = count_bases_avx2(toks[4].p, toks[4].n, hard_end, ref, counts);
+#endif
+          if (!counted &&
+              memchr(toks[4].p, '^', toks[4].n) == nullptr &&
+              memchr(toks[4].p, '+', toks[4].n) == nullptr &&
+              memchr(toks[4].p, '-', toks[4].n) == nullptr) {
+            count_bases_fast(toks[4].p, toks[4].n, ref, counts);
+            counted = true;
+          }
+        }
+        if (!counted) {
           parse_read_bases(toks[4], ref, counts, want_reads, out);
         }
         for (int k = 0; k < 4; ++k) out.counts.push_back(counts[k]);
         if (want_reads) {
           size_t nb = out.read_code.size() - reads_before;
           out.read_len.push_back(static_cast<int32_t>(nb));
-          if (want_bq) parse_qualities(toks[5], bqv); else bqv.clear();
-          if (want_mq) parse_qualities(toks[6], mqv); else mqv.clear();
-          for (size_t j = 0; j < nb; ++j) {
-            out.read_bq.push_back(j < bqv.size() ? bqv[j] : 1);
-            out.read_mq.push_back(want_mq && j < mqv.size() ? mqv[j] : 1);
+          // qualities pair positionally with the surviving bases (spec:
+          // the j-th surviving base takes the j-th raw quality char), so
+          // only the first nb bytes of each quality token are decoded —
+          // straight into the output arrays, missing chars filling with 1
+          out.read_bq.resize(reads_before + nb);
+          out.read_mq.resize(reads_before + nb);
+          uint8_t* bq_w = out.read_bq.data() + reads_before;
+          uint8_t* mq_w = out.read_mq.data() + reads_before;
+          size_t nbq = want_bq ? (toks[5].n < nb ? toks[5].n : nb) : 0;
+          for (size_t j = 0; j < nbq; ++j) {
+            uint8_t q = static_cast<uint8_t>(toks[5].p[j] - 33);
+            bq_w[j] = q < 1 ? 1 : q;
           }
+          for (size_t j = nbq; j < nb; ++j) bq_w[j] = 1;
+          size_t nmq = want_mq ? (toks[6].n < nb ? toks[6].n : nb) : 0;
+          for (size_t j = 0; j < nmq; ++j) {
+            uint8_t q = static_cast<uint8_t>(toks[6].p[j] - 33);
+            mq_w[j] = q < 1 ? 1 : q;
+          }
+          for (size_t j = nmq; j < nb; ++j) mq_w[j] = 1;
         }
       }
     }
@@ -334,7 +518,7 @@ void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
   std::vector<std::thread> threads;
   for (size_t s = 0; s < nshard; ++s) {
     threads.emplace_back([&, s]() {
-      parse_range(bounds[s], bounds[s + 1], want_bq != 0, want_mq != 0,
+      parse_range(bounds[s], bounds[s + 1], end, want_bq != 0, want_mq != 0,
                   strict != 0, shards[s]);
     });
   }
@@ -549,6 +733,212 @@ int64_t sidtpu_write_csv(const char* chrom_blob, int64_t chrom_blob_len,
 }
 
 void sidtpu_buffer_free(char* p) { free(p); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Unique-profile histogram (countUniqueProfiles, pileup.cpp:169-196): the
+// (N,4) uint16 count rows pack into order-preserving uint64 keys; a flat
+// open-addressing hash (identity-mixed, linear probing) assigns class ids in
+// O(N), classes then sort lexicographically and per-site ids remap — far
+// faster than a comparison sort over N keys. Threaded over site ranges with
+// per-thread maps merged at the end (U ~ 10^3..10^5 is tiny next to N).
+
+namespace {
+
+inline uint64_t mix_key(uint64_t k) {
+  // splitmix64 finalizer: packed profiles differ in high bits; mix so the
+  // low bits used for table indexing spread
+  k += 0x9e3779b97f4a7c15ull;
+  k = (k ^ (k >> 30)) * 0xbf58476d1ce4e5b9ull;
+  k = (k ^ (k >> 27)) * 0x94d049bb133111ebull;
+  return k ^ (k >> 31);
+}
+
+struct FlatMap {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  std::vector<uint8_t> used;
+  size_t mask = 0;
+  size_t count = 0;
+
+  void init(size_t expect) {
+    size_t cap = 64;
+    while (cap < expect * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    vals.assign(cap, 0);
+    used.assign(cap, 0);
+    mask = cap - 1;
+    count = 0;
+  }
+
+  void grow() {
+    FlatMap bigger;
+    bigger.init(keys.size());  // doubles (init uses expect*2)
+    for (size_t i = 0; i < keys.size(); ++i)
+      if (used[i]) bigger.put(keys[i], vals[i]);
+    *this = std::move(bigger);
+  }
+
+  void put(uint64_t k, int32_t v) {
+    size_t i = mix_key(k) & mask;
+    while (used[i]) i = (i + 1) & mask;
+    used[i] = 1;
+    keys[i] = k;
+    vals[i] = v;
+    ++count;
+  }
+
+  // returns the class id for k, inserting next_id if absent (sets *inserted)
+  int32_t get_or_insert(uint64_t k, int32_t next_id, bool* inserted) {
+    if (count * 2 >= keys.size()) grow();
+    size_t i = mix_key(k) & mask;
+    while (used[i]) {
+      if (keys[i] == k) {
+        *inserted = false;
+        return vals[i];
+      }
+      i = (i + 1) & mask;
+    }
+    used[i] = 1;
+    keys[i] = k;
+    vals[i] = next_id;
+    ++count;
+    *inserted = true;
+    return next_id;
+  }
+
+  int32_t find(uint64_t k) const {
+    size_t i = mix_key(k) & mask;
+    while (used[i]) {
+      if (keys[i] == k) return vals[i];
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+struct UniqueResult {
+  std::vector<uint16_t> profiles;  // (U,4)
+  std::vector<int64_t> mult;       // (U,)
+  std::vector<int32_t> inverse;    // (N,)
+  int64_t num_classes = 0;
+};
+
+inline uint64_t pack_row(const uint16_t* row) {
+  return (static_cast<uint64_t>(row[0]) << 48) |
+         (static_cast<uint64_t>(row[1]) << 32) |
+         (static_cast<uint64_t>(row[2]) << 16) | static_cast<uint64_t>(row[3]);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sidtpu_unique_profiles(const uint16_t* counts, int64_t n, int n_threads) {
+  auto* res = new UniqueResult();
+  res->inverse.resize(static_cast<size_t>(n));
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 4);
+  if (nt > 64) nt = 64;
+  if (static_cast<int64_t>(nt) * 4096 > n) {
+    nt = static_cast<int>(n / 4096) + 1;
+  }
+
+  // pass 1: per-thread maps assign local class ids; local uniques collected
+  std::vector<std::vector<uint64_t>> local_keys(static_cast<size_t>(nt));
+  std::vector<std::vector<int64_t>> local_mult(static_cast<size_t>(nt));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    int64_t begin = n * t / nt;
+    int64_t end = n * (t + 1) / nt;
+    threads.emplace_back([&, t, begin, end]() {
+      FlatMap map;
+      map.init(1024);
+      auto& lk = local_keys[static_cast<size_t>(t)];
+      auto& lm = local_mult[static_cast<size_t>(t)];
+      for (int64_t i = begin; i < end; ++i) {
+        uint64_t key = pack_row(counts + i * 4);
+        bool ins;
+        int32_t id = map.get_or_insert(
+            key, static_cast<int32_t>(lk.size()), &ins);
+        if (ins) {
+          lk.push_back(key);
+          lm.push_back(0);
+        }
+        lm[static_cast<size_t>(id)] += 1;
+        res->inverse[static_cast<size_t>(i)] = id;  // local id for now
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  // merge local uniques into the global sorted table
+  std::vector<uint64_t> all_keys;
+  for (auto& lk : local_keys) all_keys.insert(all_keys.end(), lk.begin(), lk.end());
+  std::vector<uint64_t> sorted = all_keys;
+  std::sort(sorted.begin(), sorted.end());
+  sorted.erase(std::unique(sorted.begin(), sorted.end()), sorted.end());
+  const int64_t u = static_cast<int64_t>(sorted.size());
+
+  FlatMap global;
+  global.init(static_cast<size_t>(u) + 1);
+  for (int64_t c = 0; c < u; ++c)
+    global.put(sorted[static_cast<size_t>(c)], static_cast<int32_t>(c));
+
+  res->num_classes = u;
+  res->profiles.resize(static_cast<size_t>(u) * 4);
+  res->mult.assign(static_cast<size_t>(u), 0);
+  for (int64_t c = 0; c < u; ++c) {
+    uint64_t k = sorted[static_cast<size_t>(c)];
+    res->profiles[static_cast<size_t>(c) * 4 + 0] = static_cast<uint16_t>(k >> 48);
+    res->profiles[static_cast<size_t>(c) * 4 + 1] = static_cast<uint16_t>((k >> 32) & 0xFFFF);
+    res->profiles[static_cast<size_t>(c) * 4 + 2] = static_cast<uint16_t>((k >> 16) & 0xFFFF);
+    res->profiles[static_cast<size_t>(c) * 4 + 3] = static_cast<uint16_t>(k & 0xFFFF);
+  }
+
+  // per-thread local->global remap tables; accumulate multiplicities
+  std::vector<std::vector<int32_t>> remap(static_cast<size_t>(nt));
+  for (int t = 0; t < nt; ++t) {
+    auto& lk = local_keys[static_cast<size_t>(t)];
+    auto& rm = remap[static_cast<size_t>(t)];
+    rm.resize(lk.size());
+    for (size_t j = 0; j < lk.size(); ++j) {
+      int32_t g = global.find(lk[j]);
+      rm[j] = g;
+      res->mult[static_cast<size_t>(g)] += local_mult[static_cast<size_t>(t)][j];
+    }
+  }
+
+  // pass 2: rewrite per-site local ids as global sorted class ids
+  threads.clear();
+  for (int t = 0; t < nt; ++t) {
+    int64_t begin = n * t / nt;
+    int64_t end = n * (t + 1) / nt;
+    threads.emplace_back([&, t, begin, end]() {
+      const auto& rm = remap[static_cast<size_t>(t)];
+      for (int64_t i = begin; i < end; ++i)
+        res->inverse[static_cast<size_t>(i)] =
+            rm[static_cast<size_t>(res->inverse[static_cast<size_t>(i)])];
+    });
+  }
+  for (auto& th : threads) th.join();
+  return res;
+}
+
+int64_t sidtpu_unique_num_classes(void* r) {
+  return static_cast<UniqueResult*>(r)->num_classes;
+}
+const uint16_t* sidtpu_unique_class_profiles(void* r) {
+  return static_cast<UniqueResult*>(r)->profiles.data();
+}
+const int64_t* sidtpu_unique_class_mult(void* r) {
+  return static_cast<UniqueResult*>(r)->mult.data();
+}
+const int32_t* sidtpu_unique_inverse(void* r) {
+  return static_cast<UniqueResult*>(r)->inverse.data();
+}
+void sidtpu_unique_free(void* r) { delete static_cast<UniqueResult*>(r); }
 
 // Batched glibc-libm erfc: the exact_pvalues path computes LRT p-values
 // erfc(sqrt(chisq/2)) on the host with the same libm the long-double oracle

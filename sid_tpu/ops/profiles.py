@@ -21,6 +21,10 @@ def unique_profiles(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndar
     Returns ``(profiles (U,4) int32 lexicographically sorted, multiplicity
     (U,) int64, inverse (N,) int64)`` with ``profiles[inverse] == counts``.
     Empty input gives empty arrays (countUniqueProfiles' empty case).
+
+    Large inputs dispatch to the native histogram (threaded O(N) flat-hash
+    classing in libsidtpu — a comparison sort over N keys is the slow part
+    of the numpy path); the numpy path is the fallback and spec.
     """
     counts = np.asarray(counts)
     if counts.shape[0] == 0:
@@ -29,6 +33,14 @@ def unique_profiles(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndar
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
         )
+    if counts.shape[0] >= 65536:
+        native = _unique_profiles_native(counts)
+        if native is not None:
+            return native
+    return _unique_profiles_np(counts)
+
+
+def _unique_profiles_np(counts: np.ndarray):
     # pack each (c0,c1,c2,c3) row into one uint64 whose numeric order equals
     # the row's lexicographic order, then group via one argsort (much faster
     # than np.unique's axis=0 structured sort or its return_inverse path)
@@ -44,6 +56,20 @@ def unique_profiles(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndar
     prof[:, 2] = (uniq >> 16) & 0xFFFF
     prof[:, 3] = uniq & 0xFFFF
     return prof, mult, inverse
+
+
+def _unique_profiles_native(counts: np.ndarray):
+    """Threaded flat-hash histogram via libsidtpu; None if lib unavailable."""
+    try:
+        from sid_tpu.io.native import _load
+        from sid_tpu.native.bridge import unique_profiles_native
+
+        lib = _load()
+        if lib is None or not hasattr(lib, "sidtpu_unique_profiles"):
+            return None
+        return unique_profiles_native(lib, counts)
+    except Exception:
+        return None
 
 
 def coverage_of(profiles: np.ndarray) -> np.ndarray:

@@ -211,8 +211,8 @@ def run_multihost(
         else:
             res = common.join_class_table(batch, keys, cls, conf_type)
         part = f"{out_path}.part{start:016d}"
-        with open(part, "w") as f:
-            f.write(res.to_csv(include_header=False))
+        with open(part, "wb") as f:
+            f.write(res.to_csv_bytes(include_header=False))
         part_paths.append(part)
 
     if nproc > 1:
@@ -224,11 +224,11 @@ def run_multihost(
 
     # ordered merge on the coordinator: only the parts named by this run's
     # range list (a glob could pick up stale parts from an aborted run)
-    with open(out_path, "w") as f:
-        f.write(common.CSV_HEADER + "\n")
+    with open(out_path, "wb") as f:
+        f.write((common.CSV_HEADER + "\n").encode())
         for start, _ in ranges:
             part = f"{out_path}.part{start:016d}"
-            with open(part) as pf:
+            with open(part, "rb") as pf:
                 f.write(pf.read())
             os.remove(part)
     return out_path
