@@ -1,25 +1,44 @@
 #!/usr/bin/env python
 """Headline benchmark: end-to-end genotype calling throughput, 1 chip.
 
-Generates a ~30x-coverage simulated diploid pileup (BASELINE config 2),
-runs the full pipeline (parse -> dedup -> device kernels -> CSV) for the
-default ``local`` method on the real device, and prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sites/s", "vs_baseline": N}
+Generates a ~30x-coverage simulated diploid pileup (BASELINE config 2) and
+runs the full pipeline (parse -> dedup -> device kernels -> CSV) for all
+four calling methods on the real device, interleaved with the
+reference-equivalent single-threaded C++ baseline binary so each pair shares
+the same machine state. Reports the median of K interleaved pairs (the
+2-core host swings +-30%; medians of same-run pairs are the honest
+comparison, BASELINE.md).
+
+Prints ONE JSON line on stdout:
+    {"metric": "local_...", "value": N, "unit": "sites/s",
+     "vs_baseline": N, "methods": {<per-method medians and ratios>}}
+Per-method JSON lines and component timings go to stderr.
 
 vs_baseline is measured against this repo's reference-equivalent
-single-threaded C++ baseline binary when built (tools/baseline), else a
-documented provisional anchor for the reference sid's parse+call throughput
-(BASELINE.md). Component timings go to stderr.
+single-threaded C++ baseline (tools/baseline, all four methods) when built,
+else a documented provisional anchor (BASELINE.md).
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 N_SITES = int(os.environ.get("SIDTPU_BENCH_SITES", "1000000"))
+ROUNDS = int(os.environ.get("SIDTPU_BENCH_ROUNDS", "3"))
 PROVISIONAL_ANCHOR_SITES_PER_SEC = 1.0e6  # see BASELINE.md "anchor" note
+
+# (method, baseline argv flags, Options kwargs)
+METHODS = [
+    ("local", [], {}),
+    ("quality", ["-m", "quality"], {"method": "quality"}),
+    ("bayes", ["-m", "bayes"], {"method": "bayes"}),
+    # -R -m likelihood_ratio is the reference thesis-pipeline config
+    ("likelihood_ratio", ["-R", "-m", "likelihood_ratio"],
+     {"method": "likelihood_ratio", "estimate_prior": True}),
+]
 
 
 def log(msg):
@@ -51,15 +70,16 @@ def generate(n_sites):
     return make_pileup_text_fast(counts.astype(np.int32))
 
 
-def measure_baseline(pileup_path):
-    """Reference-equivalent C++ binary, if built (tools/baseline)."""
+def baseline_exe():
     exe = os.path.join(os.path.dirname(__file__), "tools", "baseline", "sid_baseline")
-    if not os.path.exists(exe):
-        return None
+    return exe if os.path.exists(exe) else None
+
+
+def measure_baseline(exe, flags, pileup_path):
     t0 = time.time()
     subprocess.run(
-        [exe, pileup_path], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        check=True,
+        [exe] + flags + [pileup_path], stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, check=True,
     )
     return time.time() - t0
 
@@ -78,40 +98,71 @@ def main():
     with open(path, "wb") as f:
         f.write(text)
 
-    opts = Options(method="local")
+    opts = {m: Options(**kw) for m, _, kw in METHODS}
+
     # warmup with the same input so all kernel shapes are compile-cached
     log("  warmup (compilation)...")
-    t0 = time.time()
-    engine.run(text, opts)
-    log(f"  warmup: {time.time()-t0:.1f}s")
+    for m, _, _ in METHODS:
+        t0 = time.time()
+        engine.run(text, opts[m], binary=True)
+        log(f"  warmup {m}: {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    csv = engine.run(text, opts)
-    elapsed = time.time() - t0
-    n_rows = csv.count("\n") - 1
-    assert n_rows == N_SITES, (n_rows, N_SITES)
-    sites_per_sec = N_SITES / elapsed
-    log(f"  end-to-end local: {elapsed:.2f}s -> {sites_per_sec:,.0f} sites/s")
-
-    base_t = measure_baseline(path)
-    if base_t is not None:
-        anchor = N_SITES / base_t
-        log(f"  C++ baseline: {base_t:.2f}s -> {anchor:,.0f} sites/s")
-    else:
-        anchor = PROVISIONAL_ANCHOR_SITES_PER_SEC
+    exe = baseline_exe()
+    if exe is None:
         log("  C++ baseline binary not built; provisional anchor "
-            f"{anchor:,.0f} sites/s")
+            f"{PROVISIONAL_ANCHOR_SITES_PER_SEC:,.0f} sites/s")
+
+    ours = {m: [] for m, _, _ in METHODS}
+    base = {m: [] for m, _, _ in METHODS}
+    expected_rows = {}
+    for r in range(ROUNDS):
+        for m, flags, _ in METHODS:
+            t0 = time.time()
+            csv = engine.run(text, opts[m], binary=True)
+            ours[m].append(time.time() - t0)
+            n_rows = csv.count(b"\n") - 1
+            if m in expected_rows:
+                assert n_rows == expected_rows[m], (m, n_rows)
+            else:
+                expected_rows[m] = n_rows
+                assert 0 < n_rows <= N_SITES, (m, n_rows)
+            if exe is not None:
+                base[m].append(measure_baseline(exe, flags, path))
+            log(f"  round {r+1} {m}: ours {ours[m][-1]:.2f}s"
+                + (f", baseline {base[m][-1]:.2f}s" if exe else ""))
 
     import jax
 
+    platform = jax.devices()[0].platform
+    methods_out = {}
+    for m, _, _ in METHODS:
+        t_ours = statistics.median(ours[m])
+        sps = N_SITES / t_ours
+        if exe is not None:
+            anchor = N_SITES / statistics.median(base[m])
+        else:
+            anchor = PROVISIONAL_ANCHOR_SITES_PER_SEC
+        methods_out[m] = {
+            "sites_per_sec": round(sps),
+            "baseline_sites_per_sec": round(anchor),
+            "vs_baseline": round(sps / anchor, 3),
+        }
+        log(json.dumps({"metric": f"{m}_end_to_end_sites_per_sec_1chip",
+                        "value": round(sps), "unit": "sites/s",
+                        "vs_baseline": round(sps / anchor, 3),
+                        "platform": platform}))
+
+    head = methods_out["local"]
     print(
         json.dumps(
             {
                 "metric": "local_method_end_to_end_sites_per_sec_1chip",
-                "value": round(sites_per_sec),
+                "value": head["sites_per_sec"],
                 "unit": "sites/s",
-                "vs_baseline": round(sites_per_sec / anchor, 3),
-                "platform": jax.devices()[0].platform,
+                "vs_baseline": head["vs_baseline"],
+                "platform": platform,
+                "rounds": ROUNDS,
+                "methods": methods_out,
             }
         )
     )
@@ -121,9 +172,7 @@ def _watchdog_main():
     """Run the measurement in a child; on a wedged accelerator (hung remote
     tunnel), kill it and re-measure on the CPU backend so the driver always
     gets a metric. One JSON line on stdout either way."""
-    import signal
-
-    budget = int(os.environ.get("SIDTPU_BENCH_TIMEOUT", "900"))
+    budget = int(os.environ.get("SIDTPU_BENCH_TIMEOUT", "2100"))
     env = dict(os.environ, SIDTPU_BENCH_CHILD="1")
     child = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env)
     try:
