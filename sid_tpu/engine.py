@@ -79,6 +79,7 @@ def run(
             parse_base_qualities=needs_reads,
             parse_mapping_qualities=needs_reads,
             backend=options.io_backend,
+            quality_terms_only=needs_reads and options.engine == "device",
         )
     with profiling.maybe_stage("call"):
         result = call_batch(batch, options, diag)
@@ -221,7 +222,8 @@ def run_streaming(
     for chunk_no, chunk in enumerate(iter_chunks(src, chunk_bytes)):
         if chunk_no < start_chunk:
             continue
-        batch = parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend)
+        batch = parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend,
+                             quality_terms_only=needs_reads)
         if batch.num_sites == 0:
             continue
         if method == "quality":
@@ -271,7 +273,8 @@ def _run_pipelined_single_pass(data, options: Options, diag, binary: bool = Fals
     needs_reads = options.method == "quality"
 
     def parse(chunk):
-        return parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend)
+        return parse_pileup(chunk, needs_reads, needs_reads, backend=options.io_backend,
+                            quality_terms_only=needs_reads)
 
     def process(batch):
         result = call_batch(batch, options, diag)

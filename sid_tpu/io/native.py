@@ -63,11 +63,13 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse(data: bytes, parse_bq: bool, parse_mq: bool, errors):
+def parse(data: bytes, parse_bq: bool, parse_mq: bool, errors,
+          terms_only: bool = False):
     """Parse via the native library. Falls back by raising if unavailable."""
     lib = _load()
     if lib is None:
         raise RuntimeError("libsidtpu is not built")
     from sid_tpu.native.bridge import parse_with_lib
 
-    return parse_with_lib(lib, data, parse_bq, parse_mq, errors)
+    return parse_with_lib(lib, data, parse_bq, parse_mq, errors,
+                          terms_only=terms_only)

@@ -43,6 +43,13 @@ class PileupBatch:
     read_strand: Optional[np.ndarray] = None
     read_bq: Optional[np.ndarray] = None
     read_mq: Optional[np.ndarray] = None
+    # quality-method per-site terms, precomputed inline by the native parser
+    # (bitwise equal to models/quality.accumulate_read_terms; None from the
+    # Python backend)
+    q_log_hom: Optional[np.ndarray] = None
+    q_log_het: Optional[np.ndarray] = None
+    q_major: Optional[np.ndarray] = None
+    q_second: Optional[np.ndarray] = None
     errors: Optional[ErrorChannel] = None
 
     @property
@@ -148,12 +155,18 @@ def parse_pileup(
     parse_mapping_qualities: bool = False,
     backend: str = "auto",
     strict: bool = True,
+    quality_terms_only: bool = False,
 ) -> PileupBatch:
     """Parse mpileup text into a PileupBatch.
 
     ``src`` may be a path, a bytes buffer, or a binary file object.
     ``backend``: "auto" prefers the native C++ parser, falling back to the
     Python implementation.
+    ``quality_terms_only``: the caller needs only the quality method's
+    per-site term sums (``q_log_hom``/``q_log_het``/``q_major``/
+    ``q_second``), not the per-read arrays — the native parser then skips
+    materializing reads entirely. The Python backend ignores this (its
+    batches carry reads and no precomputed terms).
     """
     if isinstance(src, (str, os.PathLike)):
         with open(src, "rb") as f:
@@ -170,7 +183,8 @@ def parse_pileup(
         from sid_tpu.io import native
 
         if native.available():
-            return native.parse(data, parse_base_qualities, parse_mapping_qualities, errors)
+            return native.parse(data, parse_base_qualities, parse_mapping_qualities,
+                                errors, terms_only=quality_terms_only)
         if backend == "native":
             raise RuntimeError("native parser requested but libsidtpu is not built")
     return _parse_python(data, parse_base_qualities, parse_mapping_qualities, errors)

@@ -55,8 +55,12 @@ def accumulate_read_terms(batch, major: np.ndarray, second: np.ndarray):
     """Host per-read stage: (log_hom, log_het) sums per site, f64.
 
     Table-lookup terms, masked by major/top-2 membership, reduced per site
-    in read order (np.add.reduceat is sequential within segments, matching
-    the reference loop's accumulation order).
+    with np.add.reduceat. This is the fallback when the native parser is
+    unavailable: the production path computes the same sums inline during
+    the threaded parse (native/parser.cpp) in the reference's strict
+    per-read order. reduceat's pairwise partial sums can differ from that
+    order in the last ulps (no cancellation is possible — all terms share a
+    sign — so the difference is bounded by O(n_reads * eps)).
     """
     n = batch.num_sites
     offsets = batch.read_offsets
@@ -128,9 +132,15 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
         profiles, mult, _ = unique_profiles(batch.counts)
         snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
 
-    counts64 = batch.counts.astype(np.int64)
-    major, second = common.major_allele_indices_np(counts64)
-    log_hom, log_het = accumulate_read_terms(batch, major, second)
+    if batch.q_log_hom is not None:
+        # the native parser accumulated the per-read terms inline (same
+        # table, same order — bitwise equal to accumulate_read_terms)
+        major, second = batch.q_major, batch.q_second
+        log_hom, log_het = batch.q_log_hom, batch.q_log_het
+    else:
+        counts64 = batch.counts.astype(np.int64)
+        major, second = common.major_allele_indices_np(counts64)
+        log_hom, log_het = accumulate_read_terms(batch, major, second)
 
     counts_p = pad_axis0(batch.counts.astype(np.int32))
     major_p = pad_axis0(major)

@@ -47,7 +47,15 @@ def _configure(lib):
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
     ]
-    for name in ("sidtpu_num_sites", "sidtpu_num_reads", "sidtpu_num_errors"):
+    lib.sidtpu_parse_ex.restype = ctypes.c_void_p
+    lib.sidtpu_parse_ex.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.sidtpu_set_quality_table.restype = None
+    lib.sidtpu_set_quality_table.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    for name in ("sidtpu_num_sites", "sidtpu_num_reads", "sidtpu_num_errors",
+                 "sidtpu_num_terms"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int64
         fn.argtypes = [ctypes.c_void_p]
@@ -55,6 +63,8 @@ def _configure(lib):
         "sidtpu_chrom_id", "sidtpu_pos", "sidtpu_ref_base", "sidtpu_counts",
         "sidtpu_read_offsets", "sidtpu_read_code", "sidtpu_read_strand",
         "sidtpu_read_bq", "sidtpu_read_mq", "sidtpu_err_line", "sidtpu_err_code",
+        "sidtpu_term_hom", "sidtpu_term_het", "sidtpu_term_major",
+        "sidtpu_term_second",
     ):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_void_p
@@ -68,15 +78,39 @@ def _configure(lib):
     lib._sidtpu_configured = True
 
 
+def _ensure_quality_table(lib) -> bool:
+    """Inject the (256, 4) f64 term table once so inline accumulation is
+    bitwise identical to models/quality.accumulate_read_terms."""
+    if getattr(lib, "_sidtpu_qual_table_set", False):
+        return True
+    from sid_tpu.models.quality import quality_term_tables
+
+    tab = np.ascontiguousarray(quality_term_tables(), np.float64)
+    assert tab.shape == (256, 4)
+    lib.sidtpu_set_quality_table(tab.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    lib._sidtpu_qual_table_set = True
+    return True
+
+
 def parse_with_lib(lib, data: bytes, parse_bq: bool, parse_mq: bool,
-                   errors: ErrorChannel, n_threads: int = 0):
+                   errors: ErrorChannel, n_threads: int = 0,
+                   terms_only: bool = False):
     from sid_tpu.io.pileup import PileupBatch
 
     _configure(lib)
     with_reads = parse_bq or parse_mq
-    res = lib.sidtpu_parse(
+    # the quality method's per-site term sums are computed inline during the
+    # threaded parse whenever both quality columns are requested — the extra
+    # cost is a few L1-resident flops per read, vs ~15 memory passes in numpy.
+    # terms_only additionally skips materializing the per-read arrays.
+    flags = 0
+    if parse_bq and parse_mq and _ensure_quality_table(lib):
+        flags |= 1
+        if terms_only:
+            flags |= 2
+    res = lib.sidtpu_parse_ex(
         data, len(data), int(parse_bq), int(parse_mq),
-        int(errors.strict), n_threads,
+        int(errors.strict), n_threads, flags,
     )
     try:
         n_err = lib.sidtpu_num_errors(res)
@@ -102,7 +136,7 @@ def parse_with_lib(lib, data: bytes, parse_bq: bool, parse_mq: bool,
             ).reshape(-1, 4),
             errors=errors,
         )
-        if with_reads:
+        if with_reads and not flags & 2:
             r = lib.sidtpu_num_reads(res)
             batch.read_offsets = _as_array(
                 lib.sidtpu_read_offsets, res, ctypes.c_int64, n + 1, np.int64
@@ -111,6 +145,11 @@ def parse_with_lib(lib, data: bytes, parse_bq: bool, parse_mq: bool,
             batch.read_strand = _as_array(lib.sidtpu_read_strand, res, ctypes.c_uint8, r, np.uint8)
             batch.read_bq = _as_array(lib.sidtpu_read_bq, res, ctypes.c_uint8, r, np.uint8)
             batch.read_mq = _as_array(lib.sidtpu_read_mq, res, ctypes.c_uint8, r, np.uint8)
+        if flags & 1 and lib.sidtpu_num_terms(res) == n:
+            batch.q_log_hom = _as_array(lib.sidtpu_term_hom, res, ctypes.c_double, n, np.float64)
+            batch.q_log_het = _as_array(lib.sidtpu_term_het, res, ctypes.c_double, n, np.float64)
+            batch.q_major = _as_array(lib.sidtpu_term_major, res, ctypes.c_int8, n, np.int32)
+            batch.q_second = _as_array(lib.sidtpu_term_second, res, ctypes.c_int8, n, np.int32)
         return batch
     finally:
         lib.sidtpu_free(res)

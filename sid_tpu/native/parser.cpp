@@ -55,12 +55,26 @@ struct Shard {
   std::vector<uint8_t> read_strand;
   std::vector<uint8_t> read_bq;
   std::vector<uint8_t> read_mq;
+  // quality-method per-site terms (flags bit 0): log-likelihood sums and
+  // top-2 alleles, computed inline while the line's reads are cache-hot
+  std::vector<double> term_hom;
+  std::vector<double> term_het;
+  std::vector<int8_t> t_major;
+  std::vector<int8_t> t_second;
   // errors: line numbers (1-based within the shard, fixed up at merge)
   std::vector<int64_t> err_line;
   std::vector<int32_t> err_code;  // 0 = malformed, 1 = missing mapping quals
   ChromTable chroms;
   int64_t lines_seen = 0;
 };
+
+// (256, 4) f64 table of per-read log terms by Phred value q, columns
+// [ln(1-e), ln(e), ln(1-2e/3), ln(2e/3)], e = 10^(-q/10). The table is
+// injected from Python (models/quality.quality_term_tables) so the inline
+// accumulation is bitwise identical to the numpy reduceat path — libm pow
+// and numpy's pow may differ by 1 ulp, the shared table cannot.
+double g_qual_table_buf[1024];
+const double* g_qual_table = nullptr;
 
 inline bool is_sep(char c) { return c == ' ' || c == '\t'; }
 
@@ -372,7 +386,8 @@ inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
 // each token are needed, paired positionally with the surviving bases)
 
 void parse_range(const char* data, const char* end, const char* hard_end,
-                 bool want_bq, bool want_mq, bool strict, Shard& out) {
+                 bool want_bq, bool want_mq, bool strict, bool want_terms,
+                 bool drop_reads, Shard& out) {
   const bool want_reads = want_bq || want_mq;
   Tok toks[8];
   const char* line = data;
@@ -435,7 +450,7 @@ void parse_range(const char* data, const char* end, const char* hard_end,
         for (int k = 0; k < 4; ++k) out.counts.push_back(counts[k]);
         if (want_reads) {
           size_t nb = out.read_code.size() - reads_before;
-          out.read_len.push_back(static_cast<int32_t>(nb));
+          if (!drop_reads) out.read_len.push_back(static_cast<int32_t>(nb));
           // qualities pair positionally with the surviving bases (spec:
           // the j-th surviving base takes the j-th raw quality char), so
           // only the first nb bytes of each quality token are decoded —
@@ -456,6 +471,42 @@ void parse_range(const char* data, const char* end, const char* hard_end,
             mq_w[j] = q < 1 ? 1 : q;
           }
           for (size_t j = nmq; j < nb; ++j) mq_w[j] = 1;
+          if (want_terms) {
+            // top-2 alleles with the count*4+index tie-break
+            // (models/common.major_allele_indices_np, call.cpp:52-60)
+            int32_t sc[4];
+            for (int k = 0; k < 4; ++k)
+              sc[k] = static_cast<int32_t>(counts[k]) * 4 + k;
+            int major = 0;
+            for (int k = 1; k < 4; ++k)
+              if (sc[k] > sc[major]) major = k;
+            int second = major == 0 ? 1 : 0;
+            for (int k = 0; k < 4; ++k)
+              if (k != major && sc[k] > sc[second]) second = k;
+            // sequential f64 accumulation in read order == the numpy
+            // np.add.reduceat segment sums, bitwise (call.cpp:325-342)
+            double lh = 0.0, lht = 0.0;
+            const int8_t* code = out.read_code.data() + reads_before;
+            for (size_t j = 0; j < nb; ++j) {
+              const unsigned q = bq_w[j] < mq_w[j] ? bq_w[j] : mq_w[j];
+              const double* row = g_qual_table + 4 * q;
+              const int cj = code[j];
+              lh += (cj == major) ? row[0] : row[1];
+              lht += (cj == major || cj == second) ? row[2] : row[3];
+            }
+            out.term_hom.push_back(lh);
+            out.term_het.push_back(lht);
+            out.t_major.push_back(static_cast<int8_t>(major));
+            out.t_second.push_back(static_cast<int8_t>(second));
+            if (drop_reads) {
+              // terms-only mode: the read vectors are per-line scratch
+              // (shrinking resize never deallocates, so they stay L1-warm)
+              out.read_code.resize(reads_before);
+              out.read_strand.resize(reads_before);
+              out.read_bq.resize(reads_before);
+              out.read_mq.resize(reads_before);
+            }
+          }
         }
       }
     }
@@ -475,6 +526,10 @@ struct Result {
   std::vector<uint8_t> read_strand;
   std::vector<uint8_t> read_bq;
   std::vector<uint8_t> read_mq;
+  std::vector<double> term_hom;
+  std::vector<double> term_het;
+  std::vector<int8_t> t_major;
+  std::vector<int8_t> t_second;
   std::vector<int64_t> err_line;
   std::vector<int32_t> err_code;
   std::string chrom_blob;            // '\n'-joined names
@@ -493,8 +548,15 @@ void concat_into(std::vector<T>& dst, std::vector<std::vector<T>*> srcs) {
 
 extern "C" {
 
-void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
-                   int strict, int n_threads) {
+void* sidtpu_parse_ex(const char* data, int64_t len, int want_bq, int want_mq,
+                      int strict, int n_threads, int flags) {
+  // flags bit 0: compute per-site quality terms inline (requires both
+  // quality columns and a prior sidtpu_set_quality_table call); bit 1:
+  // terms-only — don't materialize the per-read arrays (the quality device
+  // path needs only the terms)
+  const bool want_terms =
+      (flags & 1) && g_qual_table != nullptr && want_bq && want_mq;
+  const bool drop_reads = want_terms && (flags & 2);
   auto* res = new Result();
   const char* end = data + len;
   unsigned hw = std::thread::hardware_concurrency();
@@ -519,7 +581,7 @@ void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
   for (size_t s = 0; s < nshard; ++s) {
     threads.emplace_back([&, s]() {
       parse_range(bounds[s], bounds[s + 1], end, want_bq != 0, want_mq != 0,
-                  strict != 0, shards[s]);
+                  strict != 0, want_terms, drop_reads, shards[s]);
     });
   }
   for (auto& t : threads) t.join();
@@ -557,7 +619,7 @@ void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
     for (auto& s : shards) v.push_back(&s.counts);
     concat_into(res->counts, v);
   }
-  if (want_bq || want_mq) {
+  if ((want_bq || want_mq) && !drop_reads) {
     res->read_offsets.reserve(res->pos.size() + 1);
     res->read_offsets.push_back(0);
     for (auto& s : shards) {
@@ -577,6 +639,20 @@ void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
     for (auto& s : shards) vm.push_back(&s.read_mq);
     concat_into(res->read_mq, vm);
   }
+  if (want_terms) {
+    std::vector<std::vector<double>*> vh, ve;
+    std::vector<std::vector<int8_t>*> vmj, vsc;
+    for (auto& s : shards) {
+      vh.push_back(&s.term_hom);
+      ve.push_back(&s.term_het);
+      vmj.push_back(&s.t_major);
+      vsc.push_back(&s.t_second);
+    }
+    concat_into(res->term_hom, vh);
+    concat_into(res->term_het, ve);
+    concat_into(res->t_major, vmj);
+    concat_into(res->t_second, vsc);
+  }
   {
     std::vector<std::vector<int64_t>*> v;
     for (auto& s : shards) v.push_back(&s.err_line);
@@ -594,7 +670,25 @@ void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
   return res;
 }
 
+void* sidtpu_parse(const char* data, int64_t len, int want_bq, int want_mq,
+                   int strict, int n_threads) {
+  return sidtpu_parse_ex(data, len, want_bq, want_mq, strict, n_threads, 0);
+}
+
+void sidtpu_set_quality_table(const double* tab) {
+  memcpy(g_qual_table_buf, tab, sizeof g_qual_table_buf);
+  g_qual_table = g_qual_table_buf;
+}
+
 void sidtpu_free(void* r) { delete static_cast<Result*>(r); }
+
+int64_t sidtpu_num_terms(void* r) {
+  return static_cast<int64_t>(static_cast<Result*>(r)->term_hom.size());
+}
+const double* sidtpu_term_hom(void* r) { return static_cast<Result*>(r)->term_hom.data(); }
+const double* sidtpu_term_het(void* r) { return static_cast<Result*>(r)->term_het.data(); }
+const int8_t* sidtpu_term_major(void* r) { return static_cast<Result*>(r)->t_major.data(); }
+const int8_t* sidtpu_term_second(void* r) { return static_cast<Result*>(r)->t_second.data(); }
 
 int64_t sidtpu_num_sites(void* r) { return static_cast<Result*>(r)->num_sites; }
 int64_t sidtpu_num_reads(void* r) {

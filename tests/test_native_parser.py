@@ -190,6 +190,61 @@ class TestDifferentialFuzz:
                 (r.line_number, r.message) for r in nat.errors.records
             ]
 
+    @pytest.mark.parametrize("seed", range(8))
+    def test_inline_quality_terms_bitwise(self, seed):
+        """The parser's inline per-site term sums must equal the numpy
+        accumulate_read_terms path BITWISE (same f64 table, same order)."""
+        from sid_tpu.models.common import major_allele_indices_np
+        from sid_tpu.models.quality import accumulate_read_terms
+
+        rng = np.random.default_rng(300 + seed)
+        if seed < 4:  # realistic pileups with quality columns
+            counts = simulate_diploid_counts(150, coverage=18, seed=seed)
+            text = make_pileup_text(counts, with_qualities=True, seed=seed)
+        else:  # token soup: markers, indels, short/long quality strings
+            alphabet = b"ACGTacgtNn.,*$^+-0123456789<>"
+            lines = []
+            for i in range(150):
+                bases = bytes(rng.choice(list(alphabet), rng.integers(1, 25)))
+                bq = bytes(rng.integers(33, 90, rng.integers(0, 25), dtype=np.uint8))
+                mq = bytes(rng.integers(33, 90, rng.integers(0, 25), dtype=np.uint8))
+                lines.append(
+                    b"chr1\t%d\tA\t5\t%s\t%s\t%s" % (i + 1, bases, bq, mq)
+                )
+            text = b"\n".join(lines) + b"\n"
+        nat = parse_pileup(text, True, True, backend="native", strict=False)
+        assert nat.q_log_hom is not None, "terms missing from native parse"
+        major, second = major_allele_indices_np(nat.counts.astype(np.int64))
+        np.testing.assert_array_equal(nat.q_major, major)
+        np.testing.assert_array_equal(nat.q_second, second)
+
+        # bitwise vs a strictly-sequential f64 sum (the reference's per-read
+        # loop order, call.cpp:325-342 — what the parser implements)
+        from sid_tpu.models.quality import quality_term_tables
+
+        tab = quality_term_tables()
+        offs = nat.read_offsets
+        seq_hom = np.zeros(nat.num_sites)
+        seq_het = np.zeros(nat.num_sites)
+        for s in range(nat.num_sites):
+            lh = lhet = 0.0
+            for j in range(int(offs[s]), int(offs[s + 1])):
+                q = int(min(nat.read_bq[j], nat.read_mq[j]))
+                c = int(nat.read_code[j])
+                lh += tab[q, 0] if c == major[s] else tab[q, 1]
+                lhet += tab[q, 2] if c in (major[s], second[s]) else tab[q, 3]
+            seq_hom[s] = lh
+            seq_het[s] = lhet
+        np.testing.assert_array_equal(nat.q_log_hom, seq_hom)
+        np.testing.assert_array_equal(nat.q_log_het, seq_het)
+
+        # the numpy fallback (np.add.reduceat uses pairwise partial sums)
+        # may differ in the last ulps, never more: all terms share a sign,
+        # so there is no cancellation and relative error is O(n_reads * eps)
+        log_hom, log_het = accumulate_read_terms(nat, major, second)
+        np.testing.assert_allclose(nat.q_log_hom, log_hom, rtol=1e-12)
+        np.testing.assert_allclose(nat.q_log_het, log_het, rtol=1e-12)
+
     @pytest.mark.parametrize("seed", range(4))
     def test_random_binary_garbage(self, seed):
         rng = np.random.default_rng(100 + seed)
