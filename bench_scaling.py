@@ -33,11 +33,38 @@ else:
 import numpy as np  # noqa: E402
 
 import sid_tpu  # noqa: F401,E402
-from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles  # noqa: E402
+from sid_tpu.ops.profiles import (  # noqa: E402
+    filter_min_coverage,
+    nucleotide_distribution,
+    unique_profiles,
+)
 from sid_tpu.parallel.fit import fit_lynch_global  # noqa: E402
 from sid_tpu.parallel.mesh import make_site_mesh  # noqa: E402
 
 N_SITES = int(os.environ.get("SIDTPU_SCALING_SITES", "200000"))
+
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+
+
+def collective_census(hlo_text: str):
+    """Count collective ops in compiled (post-SPMD-partitioning) HLO.
+
+    This is the checkable basis for scaling extrapolation on hardware this
+    container lacks: an op count of zero means the kernel is communication-
+    free SPMD (scaling limited only by load balance); for the fit, the
+    all-reduce payload is a scalar f64 per objective evaluation.
+    """
+    out = {}
+    for c in _COLLECTIVES:
+        # an HLO instruction reads '%name = type all-reduce(operands...)';
+        # counting ' all-reduce(' matches op instances, not metadata
+        n = hlo_text.count(" " + c + "(")
+        if n:
+            out[c] = n
+    return out
 
 
 def main():
@@ -84,6 +111,26 @@ def main():
         jax.block_until_ready(out)
         cls_times[k] = (time.time() - t0) / reps
 
+        # collective census of the compiled (SPMD-partitioned) modules:
+        # the hardware-independent scaling evidence
+        cls_hlo = classify_local.lower(big_dev, *args).compile().as_text()
+        from sid_tpu.models.lynch import fit_lynch as _fit_jit
+        from sid_tpu.parallel.mesh import shard_profiles as _shard
+        from sid_tpu.utils.padding import bucket_size as _bucket
+
+        b = _bucket(max(profiles.shape[0], 1))
+        b = ((b + k - 1) // k) * k
+        pp = np.zeros((b, 4), np.int32)
+        pp[: profiles.shape[0]] = profiles
+        mm = np.zeros(b, np.int64)
+        mm[: profiles.shape[0]] = mult
+        ps, ms = _shard(mesh, pp, mm)
+        nt_j = jnp.asarray(nucleotide_distribution(profiles, mult))
+        tab_f = jnp.asarray(
+            lgamma_int_table(table_size(int(profiles.sum(-1).max())))
+        )
+        fit_hlo = _fit_jit.lower(ps, ms, nt_j, tab_f).compile().as_text()
+
         print(
             json.dumps(
                 {
@@ -94,6 +141,8 @@ def main():
                     "classify_scaling_efficiency_vs_1": round(
                         cls_times[sizes[0]] / (cls_times[k] * k), 3
                     ),
+                    "classify_collectives": collective_census(cls_hlo),
+                    "fit_collectives": collective_census(fit_hlo),
                     "pi": round(pi, 8),
                     "eps": round(eps, 8),
                 }
