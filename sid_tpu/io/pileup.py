@@ -177,6 +177,10 @@ def parse_pileup(
         data = src.read()
         if isinstance(data, str):
             data = data.encode()
+    if data[:2] == b"\x1f\x8b":  # transparent gzip input (magic-detected)
+        import gzip
+
+        data = gzip.decompress(data)
 
     errors = ErrorChannel(strict=strict)
     if backend in ("auto", "native"):

@@ -9,6 +9,7 @@ bounded by the chunk size, not the genome.
 
 from __future__ import annotations
 
+import gzip
 import io as _io
 import os
 from typing import Iterator, Optional, Tuple, Union
@@ -19,20 +20,50 @@ from sid_tpu.io.pileup import parse_pileup
 
 DEFAULT_CHUNK_BYTES = 64 << 20
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _maybe_gzip(stream: _io.IOBase) -> _io.IOBase:
+    """Wrap a binary stream in a gzip decompressor if it starts with the
+    gzip magic. Detection is by content, not extension, so renamed files
+    and piped data work; non-peekable unseekable streams pass through
+    undetected (stdin pipes go through BufferedReader, which peeks)."""
+    try:
+        if hasattr(stream, "peek"):
+            head = stream.peek(2)[:2]
+        elif stream.seekable():
+            pos = stream.tell()
+            head = stream.read(2)
+            stream.seek(pos)
+        else:
+            return stream
+    except (OSError, ValueError):
+        return stream
+    if head == GZIP_MAGIC:
+        return gzip.GzipFile(fileobj=stream)
+    return stream
+
 
 def iter_chunks(
     src: Union[str, os.PathLike, _io.IOBase, bytes],
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 ) -> Iterator[bytes]:
-    """Yield newline-aligned byte chunks from a path, stream, or buffer."""
+    """Yield newline-aligned byte chunks from a path, stream, or buffer.
+
+    Gzip input (detected by magic bytes) is decompressed transparently —
+    the reference's pipelines zcat externally
+    (scripts/sid-pipeline/run-sid.sh); here `.gz` is a first-class input.
+    """
+    raw = None
     if isinstance(src, bytes):
-        stream: _io.IOBase = _io.BytesIO(src)
+        stream: _io.IOBase = _maybe_gzip(_io.BytesIO(src))
         close = False
     elif isinstance(src, (str, os.PathLike)):
-        stream = open(src, "rb")
+        raw = open(src, "rb")  # BufferedReader: peek-able for _maybe_gzip
+        stream = _maybe_gzip(raw)
         close = True
     else:
-        stream = src
+        stream = _maybe_gzip(src)
         close = False
     try:
         carry = b""
@@ -54,6 +85,8 @@ def iter_chunks(
     finally:
         if close:
             stream.close()
+            if raw is not None and raw is not stream:
+                raw.close()
 
 
 def pack_profiles(profiles: np.ndarray) -> np.ndarray:

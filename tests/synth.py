@@ -70,6 +70,87 @@ def simulate_diploid_counts(
     return counts
 
 
+def make_bwa_like_pileup(
+    n_sites: int,
+    n_chroms: int = 3,
+    coverage: int = 30,
+    pi: float = 1e-3,
+    eps: float = 0.01,
+    seed: int = 20260818,
+) -> bytes:
+    """Real-data-shaped mpileup (BASELINE config 3 stand-in).
+
+    Reproduces the artifact mix a BWA + samtools mpileup run emits that the
+    clean simulators skip: '.'/',' reference-matching reads (both strands),
+    read-start '^X' markers with arbitrary mapping-quality chars, read-end
+    '$', '+N'/'-N' indels with inserted base sequences, '*' deletion
+    placeholders, N reference bases (whole runs where './,' drop), lowercase
+    mixing, per-read Phred variance in both quality columns, and multiple
+    chromosomes with jumpy (sorted, gapped) positions.
+    """
+    rng = np.random.default_rng(seed)
+    lines = []
+    bases_u = "ACGT"
+    chrom_names = [f"chr{c+1}" for c in range(n_chroms)]
+    chrom_of_site = np.sort(rng.integers(0, n_chroms, n_sites))
+    pos = np.zeros(n_sites, np.int64)
+    p = 0
+    last_c = -1
+    for s in range(n_sites):
+        if chrom_of_site[s] != last_c:
+            p = int(rng.integers(10_000, 20_000))
+            last_c = chrom_of_site[s]
+        p += int(rng.integers(1, 120))  # gapped positions
+        pos[s] = p
+
+    is_het = rng.uniform(size=n_sites) < pi
+    for s in range(n_sites):
+        cov = max(1, int(rng.poisson(coverage)))
+        # ~3% of sites have an N reference (assembly gaps)
+        ref = "N" if rng.uniform() < 0.03 else bases_u[rng.integers(4)]
+        major = rng.integers(4)
+        second = (major + 1 + rng.integers(3)) % 4
+        col = []
+        n_emitted = 0
+        for _ in range(cov):
+            r = rng.uniform()
+            if r < eps:
+                b = bases_u[rng.integers(4)]
+            elif is_het[s] and r < 0.5 + eps / 2:
+                b = bases_u[second]
+            else:
+                b = bases_u[major]
+            fwd = rng.uniform() < 0.5
+            # reference-matching reads print as '.'/',' like samtools does
+            if b == ref:
+                ch = "." if fwd else ","
+            else:
+                ch = b if fwd else b.lower()
+            tok = ch
+            if rng.uniform() < 0.04:  # read start with mapping quality char
+                tok = "^" + chr(33 + int(rng.integers(0, 60))) + tok
+            if rng.uniform() < 0.04:  # read end
+                tok = tok + "$"
+            col.append(tok)
+            n_emitted += 1
+            if rng.uniform() < 0.015:  # indel after this read base
+                ln = int(rng.integers(1, 7))
+                ins = "".join(bases_u[i] for i in rng.integers(0, 4, ln))
+                col.append(("+" if rng.uniform() < 0.5 else "-") + str(ln) + ins)
+            if rng.uniform() < 0.01:  # deletion placeholder (skipped base)
+                col.append("*")
+                n_emitted += 1
+        bases_col = "".join(col) or "*"
+        nq = max(n_emitted, 1)
+        bq = "".join(chr(33 + int(q)) for q in rng.integers(2, 42, nq))
+        mq = "".join(chr(33 + int(q)) for q in rng.integers(0, 61, nq))
+        lines.append(
+            f"{chrom_names[chrom_of_site[s]]}\t{pos[s]}\t{ref}\t{cov}"
+            f"\t{bases_col}\t{bq}\t{mq}"
+        )
+    return ("\n".join(lines) + "\n").encode()
+
+
 def make_pileup_text_fast(counts: np.ndarray, chrom: str = "chr1") -> bytes:
     """Fast pileup text for benchmarks: plain base letters, constant quals."""
     counts = np.asarray(counts)
