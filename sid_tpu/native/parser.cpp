@@ -746,6 +746,37 @@ namespace {
 
 const char kAlleles[] = "ACGT";
 
+// fast %g for the values the LRT emits constantly: the winning hypothesis's
+// p-value is exactly erfc(0) = 1 and underflowed likelihoods give exactly 0,
+// so ~half of all confidence fields skip snprintf. Everything else goes
+// through glibc %g (the byte-parity standard; -0.0 prints "-0" there).
+inline void append_g(double v, std::string& out, char* num) {
+  if (v == 1.0) {
+    out += '1';
+    return;
+  }
+  if (v == 0.0) {
+    if (std::signbit(v)) out += '-';
+    out += '0';
+    return;
+  }
+  snprintf(num, 64, "%g", v);
+  out += num;
+}
+
+// decimal int32 append without the snprintf dispatch overhead
+inline void append_i32(int32_t v, std::string& out) {
+  char buf[12];
+  char* p = buf + sizeof buf;
+  uint32_t u = v < 0 ? 0u - static_cast<uint32_t>(v) : static_cast<uint32_t>(v);
+  do {
+    *--p = static_cast<char>('0' + u % 10);
+    u /= 10;
+  } while (u);
+  if (v < 0) *--p = '-';
+  out.append(p, static_cast<size_t>(buf + sizeof buf - p));
+}
+
 void write_rows(const std::vector<std::string>& chroms, const int32_t* chrom_id,
                 const int32_t* pos, const uint8_t* is_het, const int32_t* major,
                 const int32_t* second, const double* conf_hom,
@@ -755,19 +786,16 @@ void write_rows(const std::vector<std::string>& chroms, const int32_t* chrom_id,
   for (int64_t i = begin; i < end; ++i) {
     out += chroms[static_cast<size_t>(chrom_id[i])];
     out += ',';
-    snprintf(num, sizeof num, "%d", pos[i]);
-    out += num;
+    append_i32(pos[i], out);
     bool het = is_het[i] != 0;
     out += het ? ",het," : ",hom,";
     char a = kAlleles[major[i] & 3];
     out += a;
     out += het ? kAlleles[second[i] & 3] : a;
     out += ',';
-    snprintf(num, sizeof num, "%g", conf_hom[i]);
-    out += num;
+    append_g(conf_hom[i], out, num);
     out += ',';
-    snprintf(num, sizeof num, "%g", conf_het[i]);
-    out += num;
+    append_g(conf_het[i], out, num);
     out += ',';
     out += conf_type;
     out += '\n';
@@ -1074,11 +1102,9 @@ int64_t sidtpu_write_csv_indexed(
       s += a;
       s += het ? kAlleles[cls_second[c] & 3] : a;
       s += ',';
-      snprintf(num, sizeof num, "%g", cls_conf_hom[c]);
-      s += num;
+      append_g(cls_conf_hom[c], s, num);
       s += ',';
-      snprintf(num, sizeof num, "%g", cls_conf_het[c]);
-      s += num;
+      append_g(cls_conf_het[c], s, num);
       s += ',';
       s += conf_type;
       s += '\n';
