@@ -47,6 +47,7 @@ _LONG_OPTIONS = [
     ("resume", "Resume a streaming run: reuse checkpoint + continue pass 2 (file output only)"),
     ("population=", "Joint multi-sample calling: 'pooled' (shared error rate) or 'independent'; all positional args are sample pileups, outputs <input>.calls.csv"),
     ("multihost", "Multi-host data-parallel run (jax.distributed): requires --output; honors SIDTPU_COORDINATOR/SIDTPU_NUM_PROCESSES/SIDTPU_PROCESS_ID or TPU-pod auto-detection"),
+    ("warm-cache", "Compile all production kernel shape buckets into the persistent XLA cache, then exit (no input file needed)"),
     ("help", "Print this help message"),
 ]
 
@@ -132,7 +133,11 @@ def parse_args(argv: List[str]) -> Optional[tuple]:
             opts.population = value
         elif flag == "--multihost":
             opts.multihost = True
+        elif flag == "--warm-cache":
+            opts.warm_cache = True
 
+    if opts.warm_cache:
+        return opts, rest[0] if rest else ""
     if not rest:
         print("No file name given!", file=sys.stderr)
         sys.exit(1)
@@ -163,6 +168,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    if options.warm_cache:
+        from sid_tpu.utils.warmup import warm_cache
+
+        n = warm_cache(options, log=lambda l: print(l, file=sys.stderr))
+        print(f"# warm-cache: {n} method configs compiled", file=sys.stderr)
+        return 0
     if options.population:
         return _main_population(options, input_path)
     if options.multihost or _os.environ.get("SIDTPU_NUM_PROCESSES"):

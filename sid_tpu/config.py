@@ -62,6 +62,11 @@ class Options:
     multihost: bool = False
     # force a JAX platform for this run (e.g. "cpu"); None = default
     platform: Optional[str] = None
+    # compile every production kernel shape bucket into the persistent XLA
+    # cache and exit (no input file needed). On remote-compile targets a
+    # cold compile costs minutes and a killed compile loses the cache entry;
+    # a deliberate warmup makes subsequent runs compile-free.
+    warm_cache: bool = False
 
     def validate(self, allow_unknown_method: bool = False) -> None:
         """Reject inconsistent option combinations.

@@ -184,3 +184,22 @@ class TestParseErrors:
         err = capsys.readouterr().err
         assert "Malformed pileup line" in err
         assert "line 2" in err
+
+
+class TestWarmCache:
+    def test_warm_cache_no_input_file(self, capsys):
+        # --warm-cache needs no positional argument and compiles all method
+        # configs (floor shape buckets) without error
+        code, out, err = run_cli(["--warm-cache"], capsys)
+        assert code == 0
+        assert out == ""  # nothing on stdout: it's a maintenance subcommand
+        assert "# warm-cache: 5 method configs compiled" in err
+        for m in ("local", "quality", "bayes", "likelihood_ratio"):
+            assert f"# warm {m}" in err
+
+    def test_warm_cache_ignores_positional(self, capsys, tmp_path):
+        p = tmp_path / "ignored.pileup"
+        p.write_bytes(b"chr1\t1\tA\t1\t.\n")
+        code, out, err = run_cli(["--warm-cache", str(p)], capsys)
+        assert code == 0
+        assert out == ""
