@@ -241,6 +241,36 @@ def erfc_libm(lib, x: np.ndarray) -> np.ndarray:
     return out
 
 
+def lrt_pvalues_libm(lib, log_l0: np.ndarray, log_l1: np.ndarray) -> np.ndarray:
+    """Fused threaded LRT p-values (stats.lrt_pvalue_from_logs_np in one
+    native pass: chisq, sqrt, glibc erfc, -inf short-circuit)."""
+    if not getattr(lib, "_sidtpu_lrt_configured", False):
+        lib.sidtpu_lrt_pvalues.restype = None
+        lib.sidtpu_lrt_pvalues.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib._sidtpu_lrt_configured = True
+    a = np.ascontiguousarray(log_l0, np.float64)
+    b = np.ascontiguousarray(log_l1, np.float64)
+    if a.shape != b.shape:
+        a, b = np.broadcast_arrays(a, b)
+        a = np.ascontiguousarray(a)
+        b = np.ascontiguousarray(b)
+    out = np.empty_like(a)
+    lib.sidtpu_lrt_pvalues(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        a.size,
+        0,
+    )
+    return out
+
+
 def _configure_writer_indexed(lib):
     if getattr(lib, "_sidtpu_writer_idx_configured", False):
         return

@@ -332,7 +332,7 @@ inline bool count_bases_avx2(const char* s, size_t n, const char* hard_end,
 // outputs are written through raw pointers into pre-grown vectors — the
 // per-byte push_back capacity checks were the with-reads path's bottleneck.
 inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
-                             bool want_reads, Shard& out) {
+                             bool want_reads, bool want_strand, Shard& out) {
   const char* s = t.p;
   const size_t n = t.n;
   const uint8_t* tbl = kFullTables.t[ref];
@@ -342,9 +342,11 @@ inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
   if (want_reads) {
     w = out.read_code.size();
     out.read_code.resize(w + n);  // upper bound; shrunk to fit below
-    out.read_strand.resize(w + n);
     code_w = out.read_code.data();
-    strand_w = out.read_strand.data();
+    if (want_strand) {
+      out.read_strand.resize(w + n);
+      strand_w = out.read_strand.data();
+    }
   }
   for (size_t i = 0; i < n; ++i) {
     const uint8_t c = tbl[static_cast<uint8_t>(s[i])];
@@ -352,7 +354,7 @@ inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
       counts[c & 3] = static_cast<uint16_t>(counts[c & 3] + 1);
       if (want_reads) {
         code_w[w] = static_cast<int8_t>(c & 3);
-        strand_w[w] = (c >> 2) & 1;
+        if (want_strand) strand_w[w] = (c >> 2) & 1;
         ++w;
       }
     } else if (c & 16) {  // '^' skips the following mapping-quality char
@@ -377,8 +379,22 @@ inline void parse_read_bases(const Tok& t, uint8_t ref, uint16_t counts[4],
   }
   if (want_reads) {
     out.read_code.resize(w);
-    out.read_strand.resize(w);
+    if (want_strand) out.read_strand.resize(w);
   }
+}
+
+// top-2 alleles with the count*4+index tie-break
+// (models/common.major_allele_indices_np, call.cpp:52-60)
+inline void top2_alleles(const uint16_t counts[4], int& major, int& second) {
+  int32_t sc[4];
+  for (int k = 0; k < 4; ++k)
+    sc[k] = static_cast<int32_t>(counts[k]) * 4 + k;
+  major = 0;
+  for (int k = 1; k < 4; ++k)
+    if (sc[k] > sc[major]) major = k;
+  second = major == 0 ? 1 : 0;
+  for (int k = 0; k < 4; ++k)
+    if (k != major && sc[k] > sc[second]) second = k;
 }
 
 // (quality decoding — (byte-33) mod 256 clamped to >= 1, pileup.cpp:155-167
@@ -445,7 +461,7 @@ void parse_range(const char* data, const char* end, const char* hard_end,
           }
         }
         if (!counted) {
-          parse_read_bases(toks[4], ref, counts, want_reads, out);
+          parse_read_bases(toks[4], ref, counts, want_reads, !drop_reads, out);
         }
         for (int k = 0; k < 4; ++k) out.counts.push_back(counts[k]);
         if (want_reads) {
@@ -453,42 +469,27 @@ void parse_range(const char* data, const char* end, const char* hard_end,
           if (!drop_reads) out.read_len.push_back(static_cast<int32_t>(nb));
           // qualities pair positionally with the surviving bases (spec:
           // the j-th surviving base takes the j-th raw quality char), so
-          // only the first nb bytes of each quality token are decoded —
-          // straight into the output arrays, missing chars filling with 1
-          out.read_bq.resize(reads_before + nb);
-          out.read_mq.resize(reads_before + nb);
-          uint8_t* bq_w = out.read_bq.data() + reads_before;
-          uint8_t* mq_w = out.read_mq.data() + reads_before;
-          size_t nbq = want_bq ? (toks[5].n < nb ? toks[5].n : nb) : 0;
-          for (size_t j = 0; j < nbq; ++j) {
-            uint8_t q = static_cast<uint8_t>(toks[5].p[j] - 33);
-            bq_w[j] = q < 1 ? 1 : q;
-          }
-          for (size_t j = nbq; j < nb; ++j) bq_w[j] = 1;
-          size_t nmq = want_mq ? (toks[6].n < nb ? toks[6].n : nb) : 0;
-          for (size_t j = 0; j < nmq; ++j) {
-            uint8_t q = static_cast<uint8_t>(toks[6].p[j] - 33);
-            mq_w[j] = q < 1 ? 1 : q;
-          }
-          for (size_t j = nmq; j < nb; ++j) mq_w[j] = 1;
-          if (want_terms) {
-            // top-2 alleles with the count*4+index tie-break
-            // (models/common.major_allele_indices_np, call.cpp:52-60)
-            int32_t sc[4];
-            for (int k = 0; k < 4; ++k)
-              sc[k] = static_cast<int32_t>(counts[k]) * 4 + k;
-            int major = 0;
-            for (int k = 1; k < 4; ++k)
-              if (sc[k] > sc[major]) major = k;
-            int second = major == 0 ? 1 : 0;
-            for (int k = 0; k < 4; ++k)
-              if (k != major && sc[k] > sc[second]) second = k;
-            // sequential f64 accumulation in read order == the numpy
-            // np.add.reduceat segment sums, bitwise (call.cpp:325-342)
+          // only the first nb bytes of each quality token are decoded,
+          // missing chars filling with 1
+          if (drop_reads && want_bq && want_mq && toks[5].n >= nb &&
+              toks[6].n >= nb) {
+            // terms-only fast path (the quality method's production mode):
+            // decode + min + table term accumulation fused into one pass —
+            // per-read bq/mq are never materialized. Accumulation stays
+            // sequential in read order, so the sums are bitwise identical
+            // to the general path below (call.cpp:325-342's order).
+            int major, second;
+            top2_alleles(counts, major, second);
             double lh = 0.0, lht = 0.0;
             const int8_t* code = out.read_code.data() + reads_before;
+            const char* bqs = toks[5].p;
+            const char* mqs = toks[6].p;
             for (size_t j = 0; j < nb; ++j) {
-              const unsigned q = bq_w[j] < mq_w[j] ? bq_w[j] : mq_w[j];
+              uint8_t b = static_cast<uint8_t>(bqs[j] - 33);
+              b = b < 1 ? 1 : b;
+              uint8_t m = static_cast<uint8_t>(mqs[j] - 33);
+              m = m < 1 ? 1 : m;
+              const unsigned q = b < m ? b : m;
               const double* row = g_qual_table + 4 * q;
               const int cj = code[j];
               lh += (cj == major) ? row[0] : row[1];
@@ -498,13 +499,50 @@ void parse_range(const char* data, const char* end, const char* hard_end,
             out.term_het.push_back(lht);
             out.t_major.push_back(static_cast<int8_t>(major));
             out.t_second.push_back(static_cast<int8_t>(second));
-            if (drop_reads) {
-              // terms-only mode: the read vectors are per-line scratch
-              // (shrinking resize never deallocates, so they stay L1-warm)
-              out.read_code.resize(reads_before);
-              out.read_strand.resize(reads_before);
-              out.read_bq.resize(reads_before);
-              out.read_mq.resize(reads_before);
+            // read_code is per-line scratch here (shrinking resize never
+            // deallocates, so it stays L1-warm)
+            out.read_code.resize(reads_before);
+          } else {
+            out.read_bq.resize(reads_before + nb);
+            out.read_mq.resize(reads_before + nb);
+            uint8_t* bq_w = out.read_bq.data() + reads_before;
+            uint8_t* mq_w = out.read_mq.data() + reads_before;
+            size_t nbq = want_bq ? (toks[5].n < nb ? toks[5].n : nb) : 0;
+            for (size_t j = 0; j < nbq; ++j) {
+              uint8_t q = static_cast<uint8_t>(toks[5].p[j] - 33);
+              bq_w[j] = q < 1 ? 1 : q;
+            }
+            for (size_t j = nbq; j < nb; ++j) bq_w[j] = 1;
+            size_t nmq = want_mq ? (toks[6].n < nb ? toks[6].n : nb) : 0;
+            for (size_t j = 0; j < nmq; ++j) {
+              uint8_t q = static_cast<uint8_t>(toks[6].p[j] - 33);
+              mq_w[j] = q < 1 ? 1 : q;
+            }
+            for (size_t j = nmq; j < nb; ++j) mq_w[j] = 1;
+            if (want_terms) {
+              int major, second;
+              top2_alleles(counts, major, second);
+              // sequential f64 accumulation in read order == the numpy
+              // np.add.reduceat segment sums, bitwise (call.cpp:325-342)
+              double lh = 0.0, lht = 0.0;
+              const int8_t* code = out.read_code.data() + reads_before;
+              for (size_t j = 0; j < nb; ++j) {
+                const unsigned q = bq_w[j] < mq_w[j] ? bq_w[j] : mq_w[j];
+                const double* row = g_qual_table + 4 * q;
+                const int cj = code[j];
+                lh += (cj == major) ? row[0] : row[1];
+                lht += (cj == major || cj == second) ? row[2] : row[3];
+              }
+              out.term_hom.push_back(lh);
+              out.term_het.push_back(lht);
+              out.t_major.push_back(static_cast<int8_t>(major));
+              out.t_second.push_back(static_cast<int8_t>(second));
+              if (drop_reads) {
+                out.read_code.resize(reads_before);
+                out.read_strand.resize(reads_before);
+                out.read_bq.resize(reads_before);
+                out.read_mq.resize(reads_before);
+              }
             }
           }
         }
@@ -1068,6 +1106,42 @@ void sidtpu_unique_free(void* r) { delete static_cast<UniqueResult*>(r); }
 // backend's erfc approximation (stats.cpp:33's gsl_cdf_chisq_Q analogue).
 void sidtpu_erfc(const double* x, double* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) out[i] = erfc(x[i]);
+}
+
+// Fused threaded LRT p-values from log-likelihoods (stats.cpp:29-37):
+// chisq = 2*max(0, l1-l0), p = erfc(sqrt(chisq/2)), log_l0 == -inf -> 0.
+// Elementwise over disjoint ranges, so threading is bitwise-deterministic;
+// the arithmetic mirrors ops/stats.lrt_pvalue_from_logs_np operation for
+// operation (NaN in either log propagates through max/sqrt/erfc exactly as
+// numpy's maximum does; fmax would wrongly absorb it).
+void sidtpu_lrt_pvalues(const double* log_l0, const double* log_l1,
+                        double* out, int64_t n, int n_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const double l0 = log_l0[i];
+      const double d = log_l1[i] - l0;
+      // np.maximum(0, d): NaN propagates, unlike fmax
+      const double m = (d > 0.0 || d != d) ? d : 0.0;
+      double p = erfc(sqrt(m));  // 2*m*0.5 == m exactly
+      if (std::isinf(l0) && l0 < 0.0) p = 0.0;
+      out[i] = p;
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 2);
+  if (nt > 1 && n >= (1 << 16)) {
+    std::vector<std::thread> threads;
+    int64_t per = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * per;
+      int64_t hi = lo + per < n ? lo + per : n;
+      if (lo >= hi) break;
+      threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  } else {
+    work(0, n);
+  }
 }
 
 }  // extern "C"

