@@ -245,6 +245,40 @@ class TestDifferentialFuzz:
         np.testing.assert_allclose(nat.q_log_hom, log_hom, rtol=1e-12)
         np.testing.assert_allclose(nat.q_log_het, log_het, rtol=1e-12)
 
+    @pytest.mark.parametrize("seed", range(8))
+    def test_terms_only_fused_path_bitwise(self, seed):
+        """terms_only=True (the quality method's production mode, fused
+        decode+min+accumulate without materializing bq/mq) must produce the
+        SAME term sums, majors, counts, and coordinates as the general
+        with-reads path — bitwise. Token-soup seeds include quality columns
+        shorter than the surviving-base count, which must take the general
+        path inside the parser and still agree."""
+        rng = np.random.default_rng(900 + seed)
+        if seed < 4:
+            counts = simulate_diploid_counts(200, coverage=22, seed=seed)
+            text = make_pileup_text(counts, with_qualities=True, seed=seed)
+        else:
+            alphabet = b"ACGTacgtNn.,*$^+-0123456789<>"
+            lines = []
+            for i in range(200):
+                bases = bytes(rng.choice(list(alphabet), rng.integers(1, 30)))
+                bq = bytes(rng.integers(33, 90, rng.integers(0, 30), dtype=np.uint8))
+                mq = bytes(rng.integers(33, 90, rng.integers(0, 30), dtype=np.uint8))
+                lines.append(
+                    b"chr1\t%d\tA\t5\t%s\t%s\t%s" % (i + 1, bases, bq, mq)
+                )
+            text = b"\n".join(lines) + b"\n"
+        full = parse_pileup(text, True, True, backend="native", strict=False)
+        fused = parse_pileup(text, True, True, backend="native", strict=False,
+                             quality_terms_only=True)
+        assert fused.q_log_hom is not None
+        np.testing.assert_array_equal(full.counts, fused.counts)
+        np.testing.assert_array_equal(full.pos, fused.pos)
+        np.testing.assert_array_equal(full.q_major, fused.q_major)
+        np.testing.assert_array_equal(full.q_second, fused.q_second)
+        np.testing.assert_array_equal(full.q_log_hom, fused.q_log_hom)
+        np.testing.assert_array_equal(full.q_log_het, fused.q_log_het)
+
     @pytest.mark.parametrize("seed", range(4))
     def test_random_binary_garbage(self, seed):
         rng = np.random.default_rng(100 + seed)

@@ -131,3 +131,35 @@ class TestHostLRT:
         got = stats._erfc_host(xs)
         for x, g in zip(xs, got):
             assert g == math.erfc(x)
+
+
+class TestNativeFusedLRT:
+    def test_fused_native_matches_numpy_fallback(self):
+        """The threaded native sidtpu_lrt_pvalues kernel must equal the pure
+        numpy+_erfc_host composition bitwise, including NaN/inf edges and a
+        batch large enough to engage the threaded split (>= 1<<16)."""
+        from sid_tpu.io import native
+
+        if not native.available():
+            pytest.skip("libsidtpu not built")
+        rng = np.random.default_rng(42)
+        n = (1 << 17) + 7
+        l0 = rng.normal(-100, 60, n)
+        l1 = l0 + rng.normal(0, 8, n)
+        # salt with edge cases at scattered positions
+        edges = [(-np.inf, -1.0), (-np.inf, -np.inf), (-1.0, -np.inf),
+                 (np.nan, -1.0), (-1.0, np.nan), (0.0, 0.0),
+                 (-1e308, 1e308), (5e-324, -5e-324)]
+        for k, (a, b) in enumerate(edges):
+            l0[k * 1000] = a
+            l1[k * 1000] = b
+
+        from sid_tpu.native.bridge import lrt_pvalues_libm
+        from sid_tpu.io.native import _load
+
+        got = lrt_pvalues_libm(_load(), l0, l1)
+        with np.errstate(invalid="ignore"):
+            chisq = 2.0 * np.maximum(0.0, l1 - l0)
+            want = stats._erfc_host(np.sqrt(chisq * 0.5))
+            want = np.where(np.isneginf(l0), 0.0, want)
+        np.testing.assert_array_equal(got, want)
