@@ -784,10 +784,161 @@ namespace {
 
 const char kAlleles[] = "ACGT";
 
+// ---------------------------------------------------------------------------
+// Fast correctly-rounded %g (precision 6), Grisu-style.
+//
+// glibc's printf is the byte-parity standard for the confidence columns
+// (call.hpp:33-36 prints with ostream defaults == %g). snprintf costs
+// ~0.6 us/value on this host — the dominant cost of per-site serialization
+// (the quality method emits 2M distinct doubles per 1M sites). This routine
+// computes the correctly-rounded 6-significant-digit decimal with one
+// 64x64->128 multiply against a round-to-nearest power-of-ten table
+// (fmt_g_pow10.h, error <= 0.5 ulp of 2^-64), then formats %g's f/e style
+// selection and trailing-zero stripping directly. Whenever the rounding
+// decision falls within the accumulated error margin (<= 2 lsb; we use 8),
+// it falls back to glibc snprintf, so the output is byte-identical to glibc
+// for every input by construction — ambiguity resolves to the standard, and
+// exact ties (round-half-even) always land in the fallback. Non-finite
+// values also fall back ("inf"/"nan"/"-nan" conventions stay glibc's).
+
+#include "fmt_g_pow10.h"
+
+// round-to-nearest high 64 bits of a*b (error <= 0.5 lsb)
+inline uint64_t mul_hi_round(uint64_t a, uint64_t b) {
+  unsigned __int128 p = static_cast<unsigned __int128>(a) * b;
+  return static_cast<uint64_t>((p + (static_cast<unsigned __int128>(1) << 63)) >> 64);
+}
+
+// writes %g of v into out (>= 32 bytes), returns length
+inline int format_g6(double v, char* out) {
+  uint64_t bits;
+  memcpy(&bits, &v, 8);
+  bool neg = bits >> 63;
+  bits &= ~(1ull << 63);
+  if (bits == 0) {
+    char* w = out;
+    if (neg) *w++ = '-';
+    *w++ = '0';
+    return static_cast<int>(w - out);
+  }
+  if (bits >= 0x7ff0000000000000ull)  // inf/nan: glibc's spellings
+    return snprintf(out, 32, "%g", v);
+
+  // v = m * 2^e2 with m normalized to [2^63, 2^64)
+  int e2 = static_cast<int>(bits >> 52);
+  uint64_t m = bits & ((1ull << 52) - 1);
+  if (e2 == 0) {
+    e2 = -1074;  // subnormal
+  } else {
+    m |= 1ull << 52;
+    e2 -= 1075;
+  }
+  int lz = __builtin_clzll(m);
+  m <<= lz;
+  e2 -= lz;
+
+  double av = neg ? -v : v;
+  // decimal exponent estimate; off-by-one near powers of ten is corrected
+  // below by the digit-count branches
+  int d = static_cast<int>(std::floor(std::log10(av)));
+  for (int attempt = 0; attempt < 2; ++attempt) {
+    int K = 5 - d;  // scale so v*10^K has ~6 integer digits
+    if (K < kPow10KMin || K > kPow10KMax) return snprintf(out, 32, "%g", v);
+    const auto& p = kPow10[K - kPow10KMin];
+    uint64_t w64 = mul_hi_round(m, p.sig);
+    int ew = e2 + p.exp + 64;  // v*10^K ~= w64 * 2^ew
+    int s = -ew;
+    if (s <= 4 || s >= 60) return snprintf(out, 32, "%g", v);
+    uint64_t I = w64 >> s;
+    uint64_t frac = w64 & ((1ull << s) - 1);
+    // total error of w64 <= 1 lsb (0.5 table + 0.5 product rounding);
+    // margin 8 is conservative and still astronomically rarely hit
+    const uint64_t kMargin = 8;
+    uint64_t D;
+    int X;  // decimal exponent of the leading digit
+    if (I >= 100000 && I < 1000000) {
+      uint64_t half = 1ull << (s - 1);
+      if (frac > half + kMargin) D = I + 1;
+      else if (frac + kMargin < half) D = I;
+      else return snprintf(out, 32, "%g", v);
+      X = d;
+    } else if (I >= 1000000 && I < 10000000) {
+      // 7 integer digits: round at the tens place
+      uint64_t rem = ((I % 10) << s) | frac;
+      uint64_t half = 5ull << s;
+      if (rem > half + kMargin) D = I / 10 + 1;
+      else if (rem + kMargin < half) D = I / 10;
+      else return snprintf(out, 32, "%g", v);
+      X = d + 1;
+    } else if (I >= 10000 && I < 100000 && attempt == 0) {
+      --d;  // estimate was one high; rescale
+      continue;
+    } else {
+      return snprintf(out, 32, "%g", v);
+    }
+    if (D == 1000000) {  // rounding carried into a new decade
+      D = 100000;
+      ++X;
+    }
+
+    char dig[6];
+    for (int i = 5; i >= 0; --i) {
+      dig[i] = static_cast<char>('0' + D % 10);
+      D /= 10;
+    }
+    int nd = 6;
+    while (nd > 1 && dig[nd - 1] == '0') --nd;
+
+    char* o = out;
+    if (neg) *o++ = '-';
+    if (X < -4 || X >= 6) {  // e style
+      *o++ = dig[0];
+      if (nd > 1) {
+        *o++ = '.';
+        memcpy(o, dig + 1, static_cast<size_t>(nd - 1));
+        o += nd - 1;
+      }
+      *o++ = 'e';
+      int ax = X;
+      if (ax < 0) {
+        *o++ = '-';
+        ax = -ax;
+      } else {
+        *o++ = '+';
+      }
+      if (ax >= 100) {
+        *o++ = static_cast<char>('0' + ax / 100);
+        ax %= 100;
+      }
+      *o++ = static_cast<char>('0' + ax / 10);
+      *o++ = static_cast<char>('0' + ax % 10);
+    } else if (X < 0) {  // 0.000ddd
+      *o++ = '0';
+      *o++ = '.';
+      for (int i = 0; i < -X - 1; ++i) *o++ = '0';
+      memcpy(o, dig, static_cast<size_t>(nd));
+      o += nd;
+    } else if (X >= nd - 1) {  // pure integer
+      memcpy(o, dig, static_cast<size_t>(nd));
+      o += nd;
+      for (int i = 0; i < X - (nd - 1); ++i) *o++ = '0';
+    } else {  // ddd.ddd
+      memcpy(o, dig, static_cast<size_t>(X + 1));
+      o += X + 1;
+      *o++ = '.';
+      memcpy(o, dig + X + 1, static_cast<size_t>(nd - X - 1));
+      o += nd - X - 1;
+    }
+    return static_cast<int>(o - out);
+  }
+  return snprintf(out, 32, "%g", v);
+}
+
 // fast %g for the values the LRT emits constantly: the winning hypothesis's
 // p-value is exactly erfc(0) = 1 and underflowed likelihoods give exactly 0,
-// so ~half of all confidence fields skip snprintf. Everything else goes
-// through glibc %g (the byte-parity standard; -0.0 prints "-0" there).
+// so ~half of all confidence fields skip formatting entirely. Everything
+// else goes through format_g6 (glibc-%g-exact by construction; -0.0 prints
+// "-0" there like glibc).
 inline void append_g(double v, std::string& out, char* num) {
   if (v == 1.0) {
     out += '1';
@@ -798,21 +949,35 @@ inline void append_g(double v, std::string& out, char* num) {
     out += '0';
     return;
   }
-  snprintf(num, 64, "%g", v);
-  out += num;
+  int len = format_g6(v, num);
+  out.append(num, static_cast<size_t>(len));
 }
 
-// decimal int32 append without the snprintf dispatch overhead
-inline void append_i32(int32_t v, std::string& out) {
-  char buf[12];
-  char* p = buf + sizeof buf;
+// raw-pointer variant for preallocated row buffers
+inline char* write_g(double v, char* w) {
+  if (v == 1.0) {
+    *w++ = '1';
+    return w;
+  }
+  if (v == 0.0) {
+    if (std::signbit(v)) *w++ = '-';
+    *w++ = '0';
+    return w;
+  }
+  return w + format_g6(v, w);
+}
+
+inline char* write_i32(int32_t v, char* w) {
+  if (v < 0) *w++ = '-';
   uint32_t u = v < 0 ? 0u - static_cast<uint32_t>(v) : static_cast<uint32_t>(v);
+  char tmp[12];
+  int k = 0;
   do {
-    *--p = static_cast<char>('0' + u % 10);
+    tmp[k++] = static_cast<char>('0' + u % 10);
     u /= 10;
   } while (u);
-  if (v < 0) *--p = '-';
-  out.append(p, static_cast<size_t>(buf + sizeof buf - p));
+  while (k) *w++ = tmp[--k];
+  return w;
 }
 
 void write_rows(const std::vector<std::string>& chroms, const int32_t* chrom_id,
@@ -820,24 +985,40 @@ void write_rows(const std::vector<std::string>& chroms, const int32_t* chrom_id,
                 const int32_t* second, const double* conf_hom,
                 const double* conf_het, const char* conf_type, int64_t begin,
                 int64_t end, std::string& out) {
-  char num[64];
+  // raw-pointer assembly into a worst-case-sized buffer (like the indexed
+  // writer): one resize up front, no per-append capacity checks
+  size_t max_chrom = 1;
+  for (auto& c : chroms) max_chrom = c.size() > max_chrom ? c.size() : max_chrom;
+  const size_t type_len = strlen(conf_type);
+  // chrom, ',', pos(11), ",het,"(5), gt(2), ',', %g(24), ',', %g(24), ',',
+  // conf_type, '\n'
+  const size_t row_cap = max_chrom + 1 + 11 + 5 + 2 + 1 + 24 + 1 + 24 + 1 +
+                         type_len + 1;
+  out.resize(static_cast<size_t>(end - begin) * row_cap);
+  char* base = &out[0];
+  char* w = base;
   for (int64_t i = begin; i < end; ++i) {
-    out += chroms[static_cast<size_t>(chrom_id[i])];
-    out += ',';
-    append_i32(pos[i], out);
+    const std::string& ch = chroms[static_cast<size_t>(chrom_id[i])];
+    memcpy(w, ch.data(), ch.size());
+    w += ch.size();
+    *w++ = ',';
+    w = write_i32(pos[i], w);
     bool het = is_het[i] != 0;
-    out += het ? ",het," : ",hom,";
+    memcpy(w, het ? ",het," : ",hom,", 5);
+    w += 5;
     char a = kAlleles[major[i] & 3];
-    out += a;
-    out += het ? kAlleles[second[i] & 3] : a;
-    out += ',';
-    append_g(conf_hom[i], out, num);
-    out += ',';
-    append_g(conf_het[i], out, num);
-    out += ',';
-    out += conf_type;
-    out += '\n';
+    *w++ = a;
+    *w++ = het ? kAlleles[second[i] & 3] : a;
+    *w++ = ',';
+    w = write_g(conf_hom[i], w);
+    *w++ = ',';
+    w = write_g(conf_het[i], w);
+    *w++ = ',';
+    memcpy(w, conf_type, type_len);
+    w += type_len;
+    *w++ = '\n';
   }
+  out.resize(static_cast<size_t>(w - base));
 }
 
 }  // namespace
@@ -893,6 +1074,10 @@ int64_t sidtpu_write_csv(const char* chrom_blob, int64_t chrom_blob_len,
 }
 
 void sidtpu_buffer_free(char* p) { free(p); }
+
+// direct %g hook for differential testing against glibc snprintf
+// (out must hold >= 32 bytes; returns length, no NUL guarantee)
+int sidtpu_format_g(double v, char* out) { return format_g6(v, out); }
 
 }  // extern "C"
 

@@ -70,6 +70,65 @@ def test_fuzz_log_uniform(seed):
     assert native_csv.decode("latin1") == _python_csv(res)
 
 
+def _format_fns():
+    import ctypes
+
+    lib = ctypes.CDLL(native._find_library())
+    lib.sidtpu_format_g.restype = ctypes.c_int
+    libc = ctypes.CDLL("libc.so.6")
+    buf = ctypes.create_string_buffer(64)
+    buf2 = ctypes.create_string_buffer(64)
+
+    def fast(v):
+        n = lib.sidtpu_format_g(ctypes.c_double(v), buf)
+        return buf.raw[:n]
+
+    def glibc(v):
+        n = libc.snprintf(buf2, 64, b"%g", ctypes.c_double(v))
+        return buf2.raw[:n]
+
+    return fast, glibc
+
+
+def test_format_g_boundary_ties():
+    """format_g6 vs glibc %g on exact 6-digit rounding boundaries.
+
+    The fast formatter (parser.cpp format_g6) must agree with glibc for
+    every double; exact half-way ties (round-half-even in glibc) and their
+    ulp-neighbors are the values where a rounding-margin bug would show —
+    by design they take the snprintf fallback, so this also pins the
+    fallback plumbing.
+    """
+    import math
+
+    fast, glibc = _format_fns()
+    rng = np.random.default_rng(2024)
+    for _ in range(20000):
+        D = int(rng.integers(100000, 1000000))
+        X = int(rng.integers(-310, 306))
+        v = (D + 0.5) * math.pow(10.0, X - 5)
+        if not math.isfinite(v) or v == 0.0:
+            continue
+        for u in (v, math.nextafter(v, 0.0), math.nextafter(v, math.inf)):
+            assert fast(u) == glibc(u), (u.hex(), fast(u), glibc(u))
+    for X in range(-320, 309):
+        u0 = math.pow(10.0, X)
+        for u in (u0, math.nextafter(u0, 0.0), math.nextafter(u0, math.inf)):
+            assert fast(u) == glibc(u), (u.hex(), fast(u), glibc(u))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_format_g_random_bit_patterns(seed):
+    """format_g6 vs glibc %g over uniform random 64-bit patterns."""
+    fast, glibc = _format_fns()
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2**64, 50000, dtype=np.uint64)
+    vals = bits.view(np.float64)
+    for v in vals[np.isfinite(vals)]:
+        v = float(v)
+        assert fast(v) == glibc(v), (v.hex(), fast(v), glibc(v))
+
+
 def test_negative_positions_and_multibyte_chrom():
     res = _result([0.25, 1.0], [1.0, 0.125])
     res.pos = np.asarray([-2147483648, 2147483647], np.int32)
