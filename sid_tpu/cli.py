@@ -34,7 +34,7 @@ _REF_OPTIONS = [
 
 _LONG_OPTIONS = [
     ("engine=", "Compute engine: 'device' (JAX/TPU, default) or 'exact' (host long-double oracle)"),
-    ("fit=", "Lynch fit backend: 'device' (default) or 'exact'"),
+    ("fit=", "Lynch fit backend: 'auto' (default: exact host fit when cheap), 'device', or 'exact'"),
     ("io=", "Pileup parser backend: 'auto' (default), 'native', 'python'"),
     ("output=", "Output CSV path ('-' = stdout, default)"),
     ("devices=", "Number of mesh devices for the site axis (default: all local)"),

@@ -25,10 +25,16 @@ class Options:
     # path). "exact": host long-double oracle (bit-faithful to the
     # reference's precision semantics; slow, for parity/debug).
     engine: str = "device"
-    # "exact": host long-double fit, bitwise-compatible with the reference's
-    #          GSL nmsimplex2 trajectory. "device": JAX f64 fit (lax.while_loop
-    #          + psum over shards) — the scale path.
-    fit_backend: str = "device"
+    # "auto" (default): the exact host long-double fit (native libsidtpu
+    #          kernels, bitwise-compatible with the reference's GSL nmsimplex2
+    #          trajectory) whenever the run is single-mesh and the histogram
+    #          is small enough that the host fit is cheap — this makes CSV
+    #          byte-parity with the oracle unconditional on every realistic
+    #          input; falls back to "device" above SIDTPU_EXACT_FIT_MAX_U
+    #          unique profiles or under an explicit device mesh.
+    # "exact": always the host long-double fit.
+    # "device": always the JAX f64 fit (lax.while_loop + psum over shards).
+    fit_backend: str = "auto"
     # pileup parser backend: "native" (C++ shared lib) with "python" fallback.
     io_backend: str = "auto"
     # exact p-values (default): the LRT's erfc runs on the host through
@@ -80,7 +86,7 @@ class Options:
             "local", "bayes", "likelihood_ratio", "quality", ""
         ):
             raise ValueError(f"unknown method: {self.method!r}")
-        if self.fit_backend not in ("exact", "device"):
+        if self.fit_backend not in ("auto", "exact", "device"):
             raise ValueError(f"unknown fit backend: {self.fit_backend!r}")
         if self.io_backend not in ("auto", "native", "python"):
             raise ValueError(f"unknown io backend: {self.io_backend!r}")

@@ -26,6 +26,36 @@ from sid_tpu.utils.padding import pad_axis0
 DEFAULT_START = (1e-3, 1e-3)
 DEFAULT_STEP = (1e-4, 1e-4)
 
+# "auto" fit backend: ceiling on unique profiles for the exact host fit.
+# The native long-double objective costs ~7 us/k-profiles/eval (2 threads);
+# a 500k-profile fit is ~3 s — still noise against genome-scale parse time,
+# and byte parity with the oracle is unconditional below this.
+import os as _os
+
+EXACT_FIT_MAX_U = int(_os.environ.get("SIDTPU_EXACT_FIT_MAX_U", "500000"))
+# without libsidtpu the numpy longdouble objective is ~30x slower
+_EXACT_FIT_MAX_U_NUMPY = 4096
+
+
+def resolve_fit_backend(options: Options, u: int) -> str:
+    """Resolve the "auto" fit backend (config.py fit_backend).
+
+    Exact host fit — the byte-parity path — for single-mesh runs whenever it
+    is cheap; the device psum fit for explicit meshes or very large
+    histograms. Explicit "exact"/"device" are honored unchanged.
+    """
+    if options.fit_backend != "auto":
+        return options.fit_backend
+    if options.mesh_devices is not None:
+        return "device"
+    if u > EXACT_FIT_MAX_U:
+        return "device"
+    from sid_tpu.exact.lynch_ld import _native_lynch_lib
+
+    if _native_lynch_lib() is None and u > _EXACT_FIT_MAX_U_NUMPY:
+        return "device"
+    return "exact"
+
 
 @jax.jit
 def fit_lynch(
@@ -100,7 +130,7 @@ def fit_profiles(
     the long-double host optimizer (bit-faithful trajectory) and logs the
     linear likelihoods; "device" runs the jitted while-loop fit.
     """
-    if options.fit_backend == "exact":
+    if resolve_fit_backend(options, profiles.shape[0]) == "exact":
         from sid_tpu.exact.lynch_ld import estimate_profile_genotype_likelihoods_ld
 
         nt = nucleotide_distribution(profiles, mult)
@@ -131,7 +161,7 @@ def estimate_prior_heterozygosity(
     Filters cov>=4, fits, returns the heterozygosity as the SNP prior.
     """
     fprof, fmult, _ = filter_min_coverage(profiles, mult, 4)
-    if options.fit_backend == "exact":
+    if resolve_fit_backend(options, fprof.shape[0]) == "exact":
         from sid_tpu.exact.lynch_ld import estimate_profile_genotype_likelihoods_ld
 
         nt = nucleotide_distribution(fprof, fmult)

@@ -21,6 +21,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <limits>
 #include <string>
 #include <thread>
 #include <vector>
@@ -990,9 +992,10 @@ void write_rows(const std::vector<std::string>& chroms, const int32_t* chrom_id,
   size_t max_chrom = 1;
   for (auto& c : chroms) max_chrom = c.size() > max_chrom ? c.size() : max_chrom;
   const size_t type_len = strlen(conf_type);
-  // chrom, ',', pos(11), ",het,"(5), gt(2), ',', %g(24), ',', %g(24), ',',
-  // conf_type, '\n'
-  const size_t row_cap = max_chrom + 1 + 11 + 5 + 2 + 1 + 24 + 1 + 24 + 1 +
+  // chrom, ',', pos(11), ",het,"(5), gt(2), ',', %g(32), ',', %g(32), ',',
+  // conf_type, '\n' — 32 bytes per %g field matches format_g6's documented
+  // contract (incl. the snprintf fallback's size argument + NUL)
+  const size_t row_cap = max_chrom + 1 + 11 + 5 + 2 + 1 + 32 + 1 + 32 + 1 +
                          type_len + 1;
   out.resize(static_cast<size_t>(end - begin) * row_cap);
   char* base = &out[0];
@@ -1047,8 +1050,7 @@ int64_t sidtpu_write_csv(const char* chrom_blob, int64_t chrom_blob_len,
     int64_t begin = n * t / nt;
     int64_t end = n * (t + 1) / nt;
     threads.emplace_back([&, t, begin, end]() {
-      parts[static_cast<size_t>(t)].reserve(
-          static_cast<size_t>((end - begin) * 48));
+      // write_rows sizes the buffer itself (one worst-case resize)
       write_rows(chroms, chrom_id, pos, is_het, major, second, conf_hom,
                  conf_het, conf_type, begin, end, parts[static_cast<size_t>(t)]);
     });
@@ -1429,6 +1431,184 @@ int64_t sidtpu_write_csv_indexed(
   *w = '\0';
   *out = buf;
   return static_cast<int64_t>(total);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Long-double Lynch kernels: native acceleration of the exact-fit oracle.
+//
+// Bitwise-identical reimplementation of sid_tpu/exact/lynch_ld.py's
+// compound_neg_log_likelihood_ld / {hom,het}_marginal_ld (themselves the
+// long-double oracle for the reference's lynch.cpp:37-61 objective and
+// lynch.hpp:57-90 kernels). Every operation keeps the oracle's operand
+// order and precision promotions:
+//   - bases computed in f64 then promoted to long double (x86 80-bit),
+//   - powl with integer-valued long-double exponents — precomputed as
+//     tables powl(base, (long double)k), k = 0..max_cov, which is the
+//     exact same call the oracle's np.power makes per element,
+//   - per-profile pair terms accumulate in the reference's i<j order,
+//   - the compound objective's profile sum is strictly sequential
+//     (threads only fill the per-profile terms array; the reduction runs
+//     on one thread in index order, matching np.cumsum).
+// The f64 log multinomial coefficients are passed in from Python (scipy
+// gammaln — the oracle's source of lgamma values) so no lgamma
+// implementation difference can creep in.
+
+namespace {
+
+struct LdPowTables {
+  std::vector<long double> match_het;  // powl((1-2e/3)/2, k)
+  std::vector<long double> match_hom;  // powl(1-e, k)
+  std::vector<long double> err;        // powl(e/3, k)
+};
+
+LdPowTables build_pow_tables(double eps, int max_cov) {
+  LdPowTables t;
+  const long double mh = static_cast<long double>((1.0 - 2.0 / 3.0 * eps) / 2.0);
+  const long double mo = static_cast<long double>(1.0 - eps);
+  const long double er = static_cast<long double>(eps / 3.0);
+  t.match_het.resize(static_cast<size_t>(max_cov) + 1);
+  t.match_hom.resize(static_cast<size_t>(max_cov) + 1);
+  t.err.resize(static_cast<size_t>(max_cov) + 1);
+  for (int k = 0; k <= max_cov; ++k) {
+    const long double lk = static_cast<long double>(k);
+    t.match_het[static_cast<size_t>(k)] = powl(mh, lk);
+    t.match_hom[static_cast<size_t>(k)] = powl(mo, lk);
+    t.err[static_cast<size_t>(k)] = powl(er, lk);
+  }
+  return t;
+}
+
+// hom/het marginal likelihoods for profiles[lo:hi) at a fixed epsilon;
+// outputs are indexed u - out_base. denom = 1 - sum nt_i^2 accumulated in
+// long double (the oracle's s loop).
+void lynch_marginals_range(const int32_t* prof, const double* mc_log,
+                           const double* nt, const LdPowTables& tab,
+                           long double denom, int64_t lo, int64_t hi,
+                           long double* out_hom, long double* out_het,
+                           int64_t out_base) {
+  for (int64_t u = lo; u < hi; ++u) {
+    const int32_t* p = prof + u * 4;
+    const int cov = p[0] + p[1] + p[2] + p[3];
+    const long double mc = expl(static_cast<long double>(mc_log[u]));
+    // het: reference accumulation order i-major, j = i+1..3 (lynch.hpp:57-74)
+    long double lhet = 0.0L;
+    for (int i = 0; i < 4; ++i) {
+      for (int j = i + 1; j < 4; ++j) {
+        const double w = nt[i] * nt[j];  // double product, then promote
+        const int nij = p[i] + p[j];
+        lhet = lhet + static_cast<long double>(w) *
+                          tab.match_het[static_cast<size_t>(nij)] *
+                          tab.err[static_cast<size_t>(cov - nij)];
+      }
+    }
+    lhet = lhet / denom;
+    // hom: sum over the 4 candidate alleles (lynch.hpp:82-90)
+    long double lhom = 0.0L;
+    for (int i = 0; i < 4; ++i) {
+      lhom = lhom + static_cast<long double>(nt[i]) *
+                        tab.match_hom[static_cast<size_t>(p[i])] *
+                        tab.err[static_cast<size_t>(cov - p[i])];
+    }
+    out_het[u - out_base] = mc * lhet;
+    out_hom[u - out_base] = mc * lhom;
+  }
+}
+
+long double lynch_denominator(const double* nt) {
+  long double s = 0.0L;
+  for (int i = 0; i < 4; ++i)
+    s = s + static_cast<long double>(nt[i] * nt[i]);
+  return 1.0L - s;
+}
+
+int lynch_max_cov(const int32_t* prof, int64_t U) {
+  int max_cov = 0;
+  for (int64_t u = 0; u < U; ++u) {
+    const int32_t* p = prof + u * 4;
+    const int cov = p[0] + p[1] + p[2] + p[3];
+    if (cov > max_cov) max_cov = cov;
+  }
+  return max_cov;
+}
+
+void run_ranged(int64_t U, int n_threads,
+                const std::function<void(int64_t, int64_t)>& work) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 2);
+  if (nt > 1 && U >= 4096) {
+    std::vector<std::thread> threads;
+    int64_t per = (U + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * per;
+      int64_t hi = lo + per < U ? lo + per : U;
+      if (lo >= hi) break;
+      threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  } else {
+    work(0, U);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// compoundLikelihood (lynch.cpp:37-61) in oracle precision semantics.
+// prof: (U,4) int32; mult: (U,) int64; mc_log: (U,) f64 log multinomial
+// coefficients; nt: (4,) f64. Returns the double-valued objective.
+double sidtpu_compound_nll_ld(const int32_t* prof, const int64_t* mult,
+                              const double* mc_log, const double* nt,
+                              double pi, double eps, int64_t U,
+                              int n_threads) {
+  if (pi < 0.0 || pi > 1.0 || eps < 0.0 || eps > 1.0)
+    return std::numeric_limits<double>::max();
+  const int max_cov = lynch_max_cov(prof, U);
+  const LdPowTables tab = build_pow_tables(eps, max_cov);
+  const long double denom = lynch_denominator(nt);
+  const long double pi_ld = static_cast<long double>(pi);
+  const long double one_minus_pi = static_cast<long double>(1.0 - pi);
+  std::vector<long double> terms(static_cast<size_t>(U));
+  auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<long double> hom(static_cast<size_t>(hi - lo));
+    std::vector<long double> het(static_cast<size_t>(hi - lo));
+    lynch_marginals_range(prof, mc_log, nt, tab, denom, lo, hi,
+                          hom.data(), het.data(), lo);
+    for (int64_t u = lo; u < hi; ++u) {
+      const long double L =
+          one_minus_pi * hom[static_cast<size_t>(u - lo)] +
+          pi_ld * het[static_cast<size_t>(u - lo)];
+      terms[static_cast<size_t>(u)] =
+          L > 0.0L ? logl(L) * static_cast<long double>(mult[u]) : 0.0L;
+    }
+  };
+  run_ranged(U, n_threads, work);
+  long double total = 0.0L;
+  for (int64_t u = 0; u < U; ++u) total = total + terms[static_cast<size_t>(u)];
+  if (std::isinf(total)) {
+    total = total > 0.0L ? std::numeric_limits<long double>::max()
+                         : -std::numeric_limits<long double>::max();
+  }
+  return static_cast<double>(-total);
+}
+
+// Per-profile {L_hom, L_het} at the fitted epsilon (lynch.cpp:26-33),
+// long double out (numpy longdouble-compatible: x86-64 80-bit, 16-byte
+// stride for both g++ and numpy).
+void sidtpu_lynch_marginals_ld(const int32_t* prof, const double* mc_log,
+                               const double* nt, double eps, int64_t U,
+                               long double* out_hom, long double* out_het,
+                               int n_threads) {
+  const int max_cov = lynch_max_cov(prof, U);
+  const LdPowTables tab = build_pow_tables(eps, max_cov);
+  const long double denom = lynch_denominator(nt);
+  auto work = [&](int64_t lo, int64_t hi) {
+    lynch_marginals_range(prof, mc_log, nt, tab, denom, lo, hi, out_hom,
+                          out_het, 0);
+  };
+  run_ranged(U, n_threads, work);
 }
 
 }  // extern "C"
