@@ -104,19 +104,53 @@ def unpack_profiles(keys: np.ndarray) -> np.ndarray:
     return prof
 
 
-def accumulate_histogram(
-    src,
+def iter_range_chunks(
+    path: Union[str, os.PathLike],
+    start: int,
+    end: int,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> Iterator[bytes]:
+    """Yield newline-aligned chunks of one byte range of a plain file.
+
+    The range endpoints themselves must already be newline-aligned (what
+    parallel.distributed.byte_ranges produces); inner cuts are re-aligned
+    here. Memory is bounded by chunk_bytes regardless of range size.
+    """
+    with open(path, "rb") as f:
+        f.seek(start)
+        remaining = end - start
+        carry = b""
+        while remaining > 0:
+            block = f.read(min(chunk_bytes, remaining))
+            if not block:
+                break
+            remaining -= len(block)
+            data = carry + block
+            if remaining <= 0:
+                carry = b""
+                if data:
+                    yield data
+                return
+            cut = data.rfind(b"\n")
+            if cut < 0:
+                carry = data
+                continue
+            yield data[: cut + 1]
+            carry = data[cut + 1 :]
+        if carry:
+            yield carry
+
+
+def accumulate_histogram_chunks(
+    chunks: Iterator[bytes],
     backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Pass 1: merge per-chunk unique-profile histograms.
-
-    Returns (profiles (U,4) sorted, mult (U,), total_sites).
-    """
+    """Merge per-chunk unique-profile histograms over an explicit chunk
+    iterator. Returns (profiles (U,4) sorted, mult (U,), total_sites)."""
     keys_acc: Optional[np.ndarray] = None
     mult_acc: Optional[np.ndarray] = None
     total = 0
-    for chunk in iter_chunks(src, chunk_bytes):
+    for chunk in chunks:
         batch = parse_pileup(chunk, backend=backend)
         total += batch.num_sites
         if batch.num_sites == 0:
@@ -134,3 +168,15 @@ def accumulate_histogram(
     if keys_acc is None:
         return np.zeros((0, 4), np.int32), np.zeros(0, np.int64), 0
     return unpack_profiles(keys_acc), mult_acc, total
+
+
+def accumulate_histogram(
+    src,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    backend: str = "auto",
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pass 1: merge per-chunk unique-profile histograms.
+
+    Returns (profiles (U,4) sorted, mult (U,), total_sites).
+    """
+    return accumulate_histogram_chunks(iter_chunks(src, chunk_bytes), backend)

@@ -134,9 +134,13 @@ def run_multihost(
     import jax
 
     from sid_tpu.io.pileup import parse_pileup
-    from sid_tpu.io.stream import pack_profiles
+    from sid_tpu.io.stream import (
+        accumulate_histogram_chunks,
+        iter_range_chunks,
+        pack_profiles,
+    )
     from sid_tpu.models import common
-    from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
+    from sid_tpu.ops.profiles import filter_min_coverage
 
     pid = jax.process_index()
     nproc = jax.process_count()
@@ -144,22 +148,21 @@ def run_multihost(
     my_ranges = [r for i, r in enumerate(ranges) if i % nproc == pid]
     method = options.method
     needs_reads = method == "quality"
+    # SIDTPU_CHUNK_BYTES lets tests force sub-MB chunking
+    chunk_bytes = int(os.environ.get("SIDTPU_CHUNK_BYTES", options.chunk_mb << 20))
 
-    # pass 1: local histogram over my ranges (the fit's sufficient statistic;
-    # quality without -R needs no histogram — its stats are per-site)
-    local_parts = []
-    batches = []
-    for start, end in my_ranges:
-        batch = parse_pileup(
-            read_range(path, start, end), needs_reads, needs_reads,
-            backend=options.io_backend,
-        )
-        batches.append(batch)
-        p, m, _ = unique_profiles(batch.counts)
-        local_parts.append((p, m))
+    # pass 1 (only when a global histogram is needed — quality without -R is
+    # per-site): fold newline-aligned chunks of my ranges into the local
+    # unique-profile histogram, never materializing a parsed range. Memory
+    # is bounded by chunk_bytes per process (run-sid.sh:4-18's per-
+    # chromosome zcat streaming, upgraded to byte ranges + global fit).
     need_hist = method != "quality" or options.estimate_prior
     if need_hist:
-        lp, lm = merge_histograms(local_parts)
+        def _my_chunks():
+            for start, end in my_ranges:
+                yield from iter_range_chunks(path, start, end, chunk_bytes)
+
+        lp, lm, _ = accumulate_histogram_chunks(_my_chunks(), options.io_backend)
         profiles, mult = allgather_histogram(lp, lm)
 
     # identical global classification table on every process
@@ -198,21 +201,28 @@ def run_multihost(
     else:
         raise ValueError(f"run_multihost does not support method {method!r}")
 
-    # pass 2: classify own ranges, write part files
+    # pass 2: re-parse own ranges chunk-by-chunk, classify, append to the
+    # part file — the parsed batch never outlives its chunk
     import dataclasses as _dc
 
     part_paths = []
-    for (start, _), batch in zip(my_ranges, batches):
-        if method == "quality":
-            from sid_tpu.models.quality import call_quality
-
-            opts = _dc.replace(options, estimate_prior=False, snp_prior=snp_prior)
-            res = call_quality(batch, opts)
-        else:
-            res = common.join_class_table(batch, keys, cls, conf_type)
+    for start, end in my_ranges:
         part = f"{out_path}.part{start:016d}"
         with open(part, "wb") as f:
-            f.write(res.to_csv_bytes(include_header=False))
+            for chunk in iter_range_chunks(path, start, end, chunk_bytes):
+                batch = parse_pileup(
+                    chunk, needs_reads, needs_reads, backend=options.io_backend
+                )
+                if method == "quality":
+                    from sid_tpu.models.quality import call_quality
+
+                    opts = _dc.replace(
+                        options, estimate_prior=False, snp_prior=snp_prior
+                    )
+                    res = call_quality(batch, opts)
+                else:
+                    res = common.join_class_table(batch, keys, cls, conf_type)
+                f.write(res.to_csv_bytes(include_header=False))
         part_paths.append(part)
 
     if nproc > 1:

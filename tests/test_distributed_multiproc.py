@@ -1,0 +1,192 @@
+"""Real multi-process jax.distributed execution (verdict-r2 #2).
+
+Spawns two OS processes on the CPU backend (Gloo collectives over
+127.0.0.1), drives the actual ``--multihost`` CLI surface in both, and
+asserts the merged output is byte-equal to a single-process run of the same
+input. This is the first execution of the ``jax.process_count() > 1``
+branches: allgather_histogram's padded uint64 gather + per-process unpack
+(distributed.py), the parts barrier, and the coordinator merge.
+
+Reference mapping: the reference's multi-node story is the GNU-parallel
+per-chromosome fan-out (scripts/sid-pipeline/parallel-run-sid.sh:2) with
+per-shard statistics; this backend upgrades it to a single global fit
+(SURVEY §5.8) while keeping byte-identical output for any process count.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from synth import make_pileup_text, simulate_diploid_counts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _subprocess_env(extra):
+    env = dict(os.environ)
+    # one CPU device per process: drop the test harness's 8-virtual-device
+    # forcing so the subprocesses model two plain hosts
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split() if "host_platform_device_count" not in f
+    )
+    env["SIDTPU_PLATFORM"] = "cpu"
+    env.update(extra)
+    return env
+
+
+def _run_cli(args, env, timeout=240):
+    proc = subprocess.run(
+        [sys.executable, "-m", "sid_tpu.cli", *args],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    return proc
+
+
+def _spawn_multihost(args, n, port):
+    procs = []
+    for pid in range(n):
+        env = _subprocess_env(
+            {
+                "SIDTPU_COORDINATOR": f"127.0.0.1:{port}",
+                "SIDTPU_NUM_PROCESSES": str(n),
+                "SIDTPU_PROCESS_ID": str(pid),
+            }
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "sid_tpu.cli", *args],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()[-2000:]
+    return outs
+
+
+@pytest.fixture(scope="module")
+def pileup_file(tmp_path_factory):
+    # two "chromosomes" with different diversity so the per-process byte
+    # ranges produce histograms of DIFFERENT sizes — exercising the u_max
+    # padding in allgather_histogram
+    rng_counts = simulate_diploid_counts(400, coverage=22, pi=0.03, eps=0.012)
+    uniform = np.tile(np.array([[20, 0, 0, 0]]), (400, 1))
+    counts = np.concatenate([rng_counts, uniform])
+    text = make_pileup_text(counts, with_qualities=True)
+    path = tmp_path_factory.mktemp("mh") / "in.pileup"
+    path.write_bytes(text)
+    return str(path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "method_args",
+    [
+        ["-R", "-m", "likelihood_ratio"],  # fit + BH + omitted-site join
+        ["-R", "-m", "quality"],  # per-site path + global prior
+        ["-m", "bayes"],
+        ["-m", "local"],
+    ],
+    ids=["lr_R", "quality_R", "bayes", "local"],
+)
+def test_two_process_byte_equal(pileup_file, tmp_path, method_args):
+    single = tmp_path / "single.csv"
+    multi = tmp_path / "multi.csv"
+
+    env1 = _subprocess_env({})
+    _run_cli([*method_args, "--output", str(single), pileup_file], env1)
+
+    port = _free_port()
+    _spawn_multihost(
+        [*method_args, "--multihost", "--output", str(multi), pileup_file],
+        2,
+        port,
+    )
+    assert multi.read_bytes() == single.read_bytes()
+
+
+@pytest.mark.slow
+def test_two_process_tiny_chunks_byte_equal(pileup_file, tmp_path):
+    # memory-bounded multihost (verdict-r2 #3): with a 4 KB chunk size each
+    # process's ranges split into many chunks, so both the histogram pass
+    # and the classify/write pass genuinely stream; output must not change
+    single = tmp_path / "single.csv"
+    multi = tmp_path / "multi.csv"
+    env1 = _subprocess_env({})
+    _run_cli(
+        ["-R", "-m", "likelihood_ratio", "--output", str(single), pileup_file],
+        env1,
+    )
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = _subprocess_env(
+            {
+                "SIDTPU_COORDINATOR": f"127.0.0.1:{port}",
+                "SIDTPU_NUM_PROCESSES": "2",
+                "SIDTPU_PROCESS_ID": str(pid),
+                "SIDTPU_CHUNK_BYTES": "4096",
+            }
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "sid_tpu.cli", "-R", "-m",
+                    "likelihood_ratio", "--multihost", "--output", str(multi),
+                    pileup_file,
+                ],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert multi.read_bytes() == single.read_bytes()
+
+
+@pytest.mark.slow
+def test_three_process_uneven_ranges(pileup_file, tmp_path):
+    # 3 processes over 800 lines: ranges are not equal-sized and histogram
+    # cardinalities differ per process
+    single = tmp_path / "single.csv"
+    multi = tmp_path / "multi.csv"
+    env1 = _subprocess_env({})
+    _run_cli(["-m", "bayes", "--output", str(single), pileup_file], env1)
+    port = _free_port()
+    _spawn_multihost(
+        ["-m", "bayes", "--multihost", "--output", str(multi), pileup_file],
+        3,
+        port,
+    )
+    assert multi.read_bytes() == single.read_bytes()
