@@ -27,6 +27,7 @@ import sys
 import time
 
 N_SITES = int(os.environ.get("SIDTPU_BENCH_SITES", "1000000"))
+BWA_SITES = int(os.environ.get("SIDTPU_BENCH_BWA_SITES", "1000000"))
 ROUNDS = int(os.environ.get("SIDTPU_BENCH_ROUNDS", "3"))
 PROVISIONAL_ANCHOR_SITES_PER_SEC = 1.0e6  # see BASELINE.md "anchor" note
 
@@ -70,6 +71,24 @@ def generate(n_sites):
     return make_pileup_text_fast(counts.astype(np.int32))
 
 
+def generate_bwa(n_sites):
+    """Grammar-rich input (BWA/samtools artifact mix): indels, ^X/$ markers,
+    '*', N refs, Phred variance — the AVX2 escape fallback and the fused
+    terms-only path run for real. Seeded + slow to build, so cached on disk.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    cache = f"/tmp/sidtpu_bench_bwa_{n_sites}.pileup"
+    if os.path.exists(cache) and os.path.getsize(cache) > 0:
+        with open(cache, "rb") as f:
+            return f.read(), cache
+    from synth import make_bwa_like_pileup_scaled
+
+    text = make_bwa_like_pileup_scaled(n_sites)
+    with open(cache, "wb") as f:
+        f.write(text)
+    return text, cache
+
+
 def baseline_exe():
     exe = os.path.join(os.path.dirname(__file__), "tools", "baseline", "sid_baseline")
     return exe if os.path.exists(exe) else None
@@ -84,28 +103,25 @@ def measure_baseline(exe, flags, pileup_path):
     return time.time() - t0
 
 
-def main():
-    import sid_tpu  # noqa: F401
+def _measure_config(label, text, path, n_sites, rounds=ROUNDS):
+    """Interleaved ours/baseline medians for one input config.
+
+    Each of our runs records the per-stage wall (parse/call/serialize) and
+    the device split (device-stage seconds + dispatch count), so the JSON
+    carries device_fraction — the accelerator's actual share of the
+    end-to-end wall (verdict-r2 #4: keep the host-vs-device story visible).
+    """
     from sid_tpu.config import Options
     from sid_tpu import engine
-
-    log(f"generating {N_SITES} simulated sites...")
-    t0 = time.time()
-    text = generate(N_SITES)
-    log(f"  generate: {time.time()-t0:.1f}s ({len(text)/1e6:.0f} MB)")
-
-    path = "/tmp/sidtpu_bench.pileup"
-    with open(path, "wb") as f:
-        f.write(text)
+    from sid_tpu.utils import profiling
 
     opts = {m: Options(**kw) for m, _, kw in METHODS}
 
-    # warmup with the same input so all kernel shapes are compile-cached
-    log("  warmup (compilation)...")
+    log(f"  [{label}] warmup (compilation)...")
     for m, _, _ in METHODS:
         t0 = time.time()
         engine.run(text, opts[m], binary=True)
-        log(f"  warmup {m}: {time.time()-t0:.1f}s")
+        log(f"  [{label}] warmup {m}: {time.time()-t0:.1f}s")
 
     exe = baseline_exe()
     if exe is None:
@@ -114,42 +130,88 @@ def main():
 
     ours = {m: [] for m, _, _ in METHODS}
     base = {m: [] for m, _, _ in METHODS}
+    dev_s = {m: [] for m, _, _ in METHODS}
+    disp = {m: [] for m, _, _ in METHODS}
+    stage_acc = {m: {} for m, _, _ in METHODS}
     expected_rows = {}
-    for r in range(ROUNDS):
+    for r in range(rounds):
         for m, flags, _ in METHODS:
+            prof = profiling.StageProfile()
+            profiling.activate(prof)
             t0 = time.time()
             csv = engine.run(text, opts[m], binary=True)
             ours[m].append(time.time() - t0)
+            profiling.activate(None)
+            dev_s[m].append(profiling.device_seconds(prof))
+            disp[m].append(int(prof.counters.get("device_dispatches", 0)))
+            for name, sec in prof.stages:
+                stage_acc[m].setdefault(name, []).append(sec)
             n_rows = csv.count(b"\n") - 1
             if m in expected_rows:
                 assert n_rows == expected_rows[m], (m, n_rows)
             else:
                 expected_rows[m] = n_rows
-                assert 0 < n_rows <= N_SITES, (m, n_rows)
+                assert 0 < n_rows <= n_sites, (m, n_rows)
             if exe is not None:
                 base[m].append(measure_baseline(exe, flags, path))
-            log(f"  round {r+1} {m}: ours {ours[m][-1]:.2f}s"
+            log(f"  [{label}] round {r+1} {m}: ours {ours[m][-1]:.2f}s "
+                f"(device {dev_s[m][-1]:.3f}s/{disp[m][-1]} dispatches)"
                 + (f", baseline {base[m][-1]:.2f}s" if exe else ""))
 
-    import jax
-
-    platform = jax.devices()[0].platform
     methods_out = {}
     for m, _, _ in METHODS:
         t_ours = statistics.median(ours[m])
-        sps = N_SITES / t_ours
+        sps = n_sites / t_ours
         if exe is not None:
-            anchor = N_SITES / statistics.median(base[m])
+            anchor = n_sites / statistics.median(base[m])
         else:
             anchor = PROVISIONAL_ANCHOR_SITES_PER_SEC
+        t_dev = statistics.median(dev_s[m])
+        stages = {
+            name: round(statistics.median(vals), 4)
+            for name, vals in stage_acc[m].items()
+        }
         methods_out[m] = {
             "sites_per_sec": round(sps),
             "baseline_sites_per_sec": round(anchor),
             "vs_baseline": round(sps / anchor, 3),
+            "device_seconds": round(t_dev, 4),
+            "device_fraction": round(t_dev / t_ours, 4) if t_ours else 0.0,
+            "device_dispatches": disp[m][-1],
+            "stages": stages,
         }
+        log(f"  [{label}] {m}: {round(sps):,} sites/s, device "
+            f"{t_dev:.3f}s ({100*t_dev/t_ours:.0f}%), stages {stages}")
+    return methods_out
+
+
+def main():
+    import sid_tpu  # noqa: F401
+
+    log(f"generating {N_SITES} simulated sites...")
+    t0 = time.time()
+    text = generate(N_SITES)
+    log(f"  generate: {time.time()-t0:.1f}s ({len(text)/1e6:.0f} MB)")
+    path = "/tmp/sidtpu_bench.pileup"
+    with open(path, "wb") as f:
+        f.write(text)
+
+    log(f"generating {BWA_SITES} grammar-rich (BWA-artifact) sites...")
+    t0 = time.time()
+    bwa_text, bwa_path = generate_bwa(BWA_SITES)
+    log(f"  generate/load: {time.time()-t0:.1f}s ({len(bwa_text)/1e6:.0f} MB)")
+
+    methods_out = _measure_config("clean", text, path, N_SITES)
+    bwa_out = _measure_config("bwa_mix", bwa_text, bwa_path, BWA_SITES)
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    for m, _, _ in METHODS:
         log(json.dumps({"metric": f"{m}_end_to_end_sites_per_sec_1chip",
-                        "value": round(sps), "unit": "sites/s",
-                        "vs_baseline": round(sps / anchor, 3),
+                        "value": methods_out[m]["sites_per_sec"],
+                        "unit": "sites/s",
+                        "vs_baseline": methods_out[m]["vs_baseline"],
                         "platform": platform}))
 
     head = methods_out["local"]
@@ -163,6 +225,7 @@ def main():
                 "platform": platform,
                 "rounds": ROUNDS,
                 "methods": methods_out,
+                "methods_bwa_mix": bwa_out,
             }
         )
     )

@@ -67,14 +67,83 @@ def classify_local(
     return is_het, major, second, p1, p2, l1, l2
 
 
+@jax.jit
+def local_log_likelihoods(
+    profiles: jnp.ndarray,
+    major: jnp.ndarray,
+    second: jnp.ndarray,
+    error_threshold: jnp.ndarray,
+    lgamma_tab: jnp.ndarray,
+):
+    """Transfer-lean local kernel: only the transcendental-heavy log
+    likelihoods run on device; plug-in errors are recomputed on device from
+    the profiles (elementary IEEE ops — bitwise equal to a host computation)
+    and only (l1, l2) come back. Everything else (major selection, LRT,
+    thresholds) is elementary host work, so round-tripping it through the
+    accelerator would only pay transfer latency (DESIGN.md: d2h through the
+    tunnel is the dominant device cost)."""
+    profiles = profiles.astype(jnp.int32)
+    cov = profiles.sum(-1).astype(jnp.float64)
+    n1 = jnp.take_along_axis(profiles, major[..., None], -1)[..., 0].astype(jnp.float64)
+    n2 = jnp.take_along_axis(profiles, second[..., None], -1)[..., 0].astype(jnp.float64)
+    error1 = (cov - n1) / cov
+    error1 = jnp.where(error1 > error_threshold, error_threshold, error1)
+    l1 = likelihoods.log_hom_fixed(profiles, error1, major, lgamma_tab)
+    error2 = 1.5 * (cov - n1 - n2) / cov
+    error2 = jnp.where(error2 > error_threshold, error_threshold, error2)
+    l2 = likelihoods.log_het_fixed(profiles, error2, major, second, lgamma_tab)
+    return common.clamp_ld_underflow(l1), common.clamp_ld_underflow(l2)
+
+
 def classify_profiles_local(
     profiles: np.ndarray, options: Options, snp_prior: float, mesh_devices=None
 ):
     """Per-class local classification; returns 5 host arrays over U."""
+    from sid_tpu.utils import profiling
+
     u = profiles.shape[0]
     max_cov = int(profiles.sum(-1).max()) if u else 0
     tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     padded = pad_axis0(np.asarray(profiles, np.int32))
+
+    if options.exact_pvalues:
+        # slim path (default): host major selection + prior + LRT; device
+        # computes only the log likelihoods and ships 2 f64 arrays back
+        major, second = common.major_allele_indices_np(padded.astype(np.int64))
+        prof_dev = padded
+        if mesh_devices is not None:
+            from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+            mesh = make_site_mesh(mesh_devices)
+            n_dev = int(np.prod(mesh.devices.shape))
+            if padded.shape[0] % n_dev == 0:
+                sh = row_sharding(mesh, 2)
+                sh1 = row_sharding(mesh, 1)
+                prof_dev = jax.device_put(padded, sh)
+                major = jax.device_put(major, sh1)
+                second = jax.device_put(second, sh1)
+        with profiling.device_stage("local_log_likelihoods"):
+            l1, l2 = local_log_likelihoods(
+                jnp.asarray(prof_dev),
+                jnp.asarray(major),
+                jnp.asarray(second),
+                jnp.float64(options.site_error_threshold),
+                tab,
+            )
+            l1 = np.asarray(l1)[:u]
+            l2 = np.asarray(l2)[:u]
+        major = np.asarray(major)[:u]
+        second = np.asarray(second)[:u]
+        if snp_prior > 0:
+            # glibc log, matching the oracle's prior arithmetic
+            l1 = l1 + np.log(np.float64(1.0 - snp_prior))
+            l2 = l2 + np.log(np.float64(snp_prior))
+        p1 = stats.lrt_pvalue_from_logs_np(l2, l1)
+        p2 = stats.lrt_pvalue_from_logs_np(l1, l2)
+        with np.errstate(invalid="ignore"):
+            is_het = (l2 > l1) & (p2 < options.significance_level)
+        return is_het, major, second, p1, p2
+
     prof_dev = jnp.asarray(padded)
     if mesh_devices is not None:
         from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
@@ -83,21 +152,15 @@ def classify_profiles_local(
         n_dev = int(np.prod(mesh.devices.shape))
         if padded.shape[0] % n_dev == 0:
             prof_dev = jax.device_put(padded, row_sharding(mesh, 2))
-    out = classify_local(
-        prof_dev,
-        jnp.float64(options.site_error_threshold),
-        jnp.float64(options.significance_level),
-        jnp.float64(snp_prior),
-        tab,
-    )
-    is_het, major, second, p1, p2, l1, l2 = (np.asarray(o)[:u] for o in out)
-    if options.exact_pvalues:
-        # host-libm LRT from the device log-likelihoods (byte-stable vs the
-        # oracle's math.erfc no matter the backend's erfc implementation)
-        p1 = stats.lrt_pvalue_from_logs_np(l2, l1)
-        p2 = stats.lrt_pvalue_from_logs_np(l1, l2)
-        with np.errstate(invalid="ignore"):
-            is_het = (l2 > l1) & (p2 < options.significance_level)
+    with profiling.device_stage("classify_local"):
+        out = classify_local(
+            prof_dev,
+            jnp.float64(options.site_error_threshold),
+            jnp.float64(options.significance_level),
+            jnp.float64(snp_prior),
+            tab,
+        )
+        is_het, major, second, p1, p2, l1, l2 = (np.asarray(o)[:u] for o in out)
     return is_het, major, second, p1, p2
 
 

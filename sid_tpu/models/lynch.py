@@ -94,15 +94,19 @@ def fit_on_filtered_profiles(
     Returns (pi, eps, log_l_hom (U,), log_l_het (U,), nt). Reproduces the
     minimizer's stderr convergence diagnostics (optimization.hpp:69-77).
     """
+    from sid_tpu.utils import profiling
+
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if profiles.shape[0] else 0
     tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     u = profiles.shape[0]
     prof_pad = pad_axis0(np.asarray(profiles, np.int32))
     mult_pad = pad_axis0(np.asarray(mult, np.int64))
-    res, log_l_hom, log_l_het = fit_lynch(
-        jnp.asarray(prof_pad), jnp.asarray(mult_pad), jnp.asarray(nt), tab
-    )
+    with profiling.device_stage("fit_lynch"):
+        res, log_l_hom, log_l_het = fit_lynch(
+            jnp.asarray(prof_pad), jnp.asarray(mult_pad), jnp.asarray(nt), tab
+        )
+        jax.block_until_ready((res, log_l_hom, log_l_het))
     iters = int(res.iterations)
     if diag is not None:
         if bool(res.converged):

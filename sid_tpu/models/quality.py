@@ -123,7 +123,42 @@ def finalize_quality(
     return is_het, p1, p2, log_pp1, log_pp2
 
 
+def finalize_quality_np(
+    counts: np.ndarray,
+    major: np.ndarray,
+    second: np.ndarray,
+    log_hom: np.ndarray,
+    log_het: np.ndarray,
+    snp_prior: float,
+    lgamma_tab: np.ndarray,
+):
+    """Host finalization, operation-for-operation the device kernel.
+
+    All the arithmetic here is elementary IEEE f64 (table gathers,
+    add/mul/compare) except the prior logs, which use glibc log — the same
+    libm the long-double oracle uses. Used on single-device runs where
+    round-tripping ~30 ms of elementwise work through the accelerator costs
+    ~10-100x the compute in transfer latency (DESIGN.md); sharded runs keep
+    the device kernel.
+    """
+    counts = counts.astype(np.int64)
+    idx = np.arange(counts.shape[0])
+    n = counts[idx, major] + counts[idx, second]
+    k = counts[idx, second]
+    log_c = lgamma_tab[n + 1] - lgamma_tab[n - k + 1] - lgamma_tab[k + 1]
+    log_het = log_het + log_c - n.astype(np.float64) * np.log(2.0)
+
+    log_pp1 = common.clamp_ld_underflow_np(log_hom)
+    log_pp2 = common.clamp_ld_underflow_np(log_het)
+    if snp_prior > 0:
+        log_pp1 = log_pp1 + np.log(np.float64(1.0 - snp_prior))
+        log_pp2 = log_pp2 + np.log(np.float64(snp_prior))
+    return log_pp1, log_pp2
+
+
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
+    from sid_tpu.utils import profiling
+
     n = batch.num_sites
     snp_prior = options.snp_prior
     if options.estimate_prior:
@@ -141,6 +176,31 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
         counts64 = batch.counts.astype(np.int64)
         major, second = common.major_allele_indices_np(counts64)
         log_hom, log_het = accumulate_read_terms(batch, major, second)
+
+    if options.mesh_devices is None and options.exact_pvalues:
+        # single-device path: the finalization is elementary elementwise f64
+        # — host-side it costs ~30 ms/M sites and zero transfers
+        max_cov = int(batch.counts.sum(-1).max()) if n else 0
+        tab_np = lgamma_int_table(table_size(2 * max_cov))
+        lpp1, lpp2 = finalize_quality_np(
+            batch.counts, major[:n], second[:n], log_hom[:n], log_het[:n],
+            snp_prior, tab_np,
+        )
+        p1 = stats.lrt_pvalue_from_logs_np(lpp2, lpp1)
+        p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
+        with np.errstate(invalid="ignore"):
+            is_het = p2 < options.significance_level
+        return common.CallResult(
+            chrom_id=batch.chrom_id,
+            chrom_table=batch.chrom_table,
+            pos=batch.pos,
+            is_het=is_het,
+            major=major[:n].astype(np.int32),
+            second=second[:n].astype(np.int32),
+            conf_hom=p1,
+            conf_het=p2,
+            conf_type="p_value",
+        )
 
     counts_p = pad_axis0(batch.counts.astype(np.int32))
     major_p = pad_axis0(major)
@@ -161,13 +221,15 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
             arrays = [
                 jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays
             ]
-    dev = [jnp.asarray(a) for a in arrays]
-    is_het, p1, p2, log_pp1, log_pp2 = finalize_quality(
-        *dev,
-        jnp.float64(snp_prior),
-        jnp.float64(options.significance_level),
-        tab,
-    )
+    with profiling.device_stage("finalize_quality"):
+        dev = [jnp.asarray(a) for a in arrays]
+        is_het, p1, p2, log_pp1, log_pp2 = finalize_quality(
+            *dev,
+            jnp.float64(snp_prior),
+            jnp.float64(options.significance_level),
+            tab,
+        )
+        jax.block_until_ready((is_het, p1, p2, log_pp1, log_pp2))
     if options.exact_pvalues:
         lpp1 = np.asarray(log_pp1)[:n]
         lpp2 = np.asarray(log_pp2)[:n]

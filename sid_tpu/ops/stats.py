@@ -96,6 +96,26 @@ def adjust_benjamini_hochberg(p_values: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(out > 1.0, 1.0, out)
 
 
+def adjust_benjamini_hochberg_np(p_values: np.ndarray) -> np.ndarray:
+    """Host BH, arithmetic identical to the device version (elementary IEEE
+    ops only: descending sort, p*m/(m-i), running min, clamp). Tie order is
+    output-invariant (the running min absorbs it), so argsort flavor does
+    not matter."""
+    p_values = np.asarray(p_values, np.float64)
+    m = p_values.shape[0]
+    if m == 0:
+        return p_values
+    order = np.argsort(-p_values, kind="stable")
+    sorted_p = p_values[order]
+    i = np.arange(m, dtype=np.float64)
+    scaled = sorted_p * np.float64(m) / (np.float64(m) - i)
+    scaled[0] = sorted_p[0]  # stats.cpp:74 assigns raw p
+    adj = np.minimum.accumulate(scaled)
+    out = np.empty_like(p_values)
+    out[order] = adj
+    return np.where(out > 1.0, 1.0, out)
+
+
 def adjust_bonferroni(p_values: jnp.ndarray, n: int = 0) -> jnp.ndarray:
     """Bonferroni correction (stats.cpp:48-56; unused by reference main paths)."""
     if n <= 0:

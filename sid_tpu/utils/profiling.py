@@ -102,3 +102,23 @@ def maybe_stage(name: str):
     else:
         with p.stage(name):
             yield
+
+
+@contextlib.contextmanager
+def device_stage(name: str):
+    """Record a device dispatch block: wall time under ``device:{name}`` plus
+    a ``device_dispatches`` counter. Wrap the whole transfer+compute+fetch
+    block so the stage captures what the accelerator actually costs the
+    pipeline (h2d, dispatch, d2h), not just kernel time."""
+    p = _active
+    if p is None:
+        yield
+    else:
+        p.count("device_dispatches", 1)
+        with p.stage(f"device:{name}"):
+            yield
+
+
+def device_seconds(profile: "StageProfile") -> float:
+    """Total wall seconds spent in device stages of one run."""
+    return sum(sec for name, sec in profile.stages if name.startswith("device:"))

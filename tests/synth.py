@@ -151,6 +151,40 @@ def make_bwa_like_pileup(
     return ("\n".join(lines) + "\n").encode()
 
 
+def make_bwa_like_pileup_scaled(
+    n_sites: int,
+    pool_sites: int = 8192,
+    n_chroms: int = 3,
+    seed: int = 20260820,
+) -> bytes:
+    """Grammar-rich pileup at bench scale: a make_bwa_like_pileup site pool
+    (full artifact mix: ^X/$, indels, '*', N refs, Phred variance) sampled
+    to n_sites with fresh sorted chrom/pos columns. Byte-level grammar
+    richness is identical to the slow generator; profile diversity is capped
+    at pool_sites (fine for parse benchmarks). ~50x faster to build."""
+    rng = np.random.default_rng(seed)
+    pool_raw = make_bwa_like_pileup(pool_sites, n_chroms=1, seed=seed)
+    suffixes = [ln.split(b"\t", 2)[2] for ln in pool_raw.splitlines()]
+    chrom_names = [f"chr{c+1}".encode() for c in range(n_chroms)]
+    chrom_of_site = np.sort(rng.integers(0, n_chroms, n_sites))
+    steps = rng.integers(1, 120, n_sites)
+    pick = rng.integers(0, len(suffixes), n_sites)
+    out = []
+    pos = 0
+    last_c = -1
+    tab = b"\t"
+    for s in range(n_sites):
+        c = chrom_of_site[s]
+        if c != last_c:
+            pos = 10_000
+            last_c = c
+        pos += int(steps[s])
+        out.append(
+            chrom_names[c] + tab + str(pos).encode() + tab + suffixes[pick[s]]
+        )
+    return b"\n".join(out) + b"\n"
+
+
 def make_pileup_text_fast(counts: np.ndarray, chrom: str = "chr1") -> bytes:
     """Fast pileup text for benchmarks: plain base letters, constant quals."""
     counts = np.asarray(counts)

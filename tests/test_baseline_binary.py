@@ -36,7 +36,7 @@ def baseline_exe():
         gxx = shutil.which("g++")
         if gxx is None:
             pytest.skip("g++ not available")
-        subprocess.run([gxx, "-O2", "-o", EXE, SRC, "-lm"], check=True)
+        subprocess.run([gxx, "-O2", "-fopenmp", "-o", EXE, SRC, "-lm"], check=True)
     return EXE
 
 

@@ -31,7 +31,14 @@ def test_engine_run_populates_active_profile():
     finally:
         profiling.activate(None)
     names = [n for n, _ in p.stages]
-    assert names == ["parse", "call", "serialize"]
+    # device stages nest inside "call" (they finish first, so they appear
+    # before it in the flat append order)
+    assert [n for n in names if not n.startswith("device:")] == [
+        "parse", "call", "serialize",
+    ]
+    assert "device:local_log_likelihoods" in names
+    assert p.counters.get("device_dispatches") == 1
+    assert profiling.device_seconds(p) > 0
 
 
 def test_inactive_profile_is_noop():

@@ -1,5 +1,7 @@
-// Reference-equivalent baseline: single-threaded C++ sid pipeline, all four
-// calling methods.
+// Reference-equivalent baseline: C++ sid pipeline, all four calling methods.
+// Single-threaded except the quality method's site loop, which is an OpenMP
+// parallel-for exactly like the reference's (call.cpp:309-310) so the bench
+// ratio is measured against the reference's real shape on this host.
 //
 // Purpose: BASELINE.md's CPU anchor. The true reference (EvolBioInf/sid)
 // needs GSL, which this environment lacks; this standalone binary implements
@@ -20,7 +22,7 @@
 //   -m likelihood_ratio   Lynch fit -> LRT + Benjamini-Hochberg, cov>=4 only
 //   -m quality            per-read min(bq,mq) Phred model, every site
 //
-// Build: g++ -O2 -o sid_baseline sid_baseline.cpp -lm
+// Build: g++ -O2 -fopenmp -o sid_baseline sid_baseline.cpp -lm
 // Usage: sid_baseline [-m method] [-p alpha] [-E err] [-r prior] [-R] \
 //        input.pileup > out.csv
 
@@ -569,44 +571,70 @@ int run_fit_method(const Parsed& parsed, bool bayes) {
   return 0;
 }
 
+// one site's quality-method classification (loop body of call.cpp:309-370)
+struct QualityCall {
+  double p1, p2;
+  uint8_t major, second, het;
+};
+
+static QualityCall quality_site(const Parsed& parsed, const Site& s) {
+  int major, second;
+  major_second(s.counts, &major, &second);
+  long double log_hom = 0, log_het = 0;
+  for (uint32_t j = 0; j < s.read_n; ++j) {
+    int code = parsed.rcode[s.read_off + j];
+    double err = pow(10.0, (double)parsed.rq[s.read_off + j] / -10.0);
+    log_hom += (code == major) ? log(1.0 - err) : log(err);
+    bool top2 = code == major || code == second;
+    log_het += top2 ? log(1.0 - 2.0 / 3.0 * err) : log(2.0 / 3.0 * err);
+  }
+  // allele-balance binomial (call.cpp:344-349)
+  int64_t nn = (int64_t)s.counts[major] + s.counts[second];
+  int64_t kk = s.counts[second];
+  double logbinom = lgamma((double)nn + 1) - lgamma((double)(nn - kk) + 1) -
+                    lgamma((double)kk + 1);
+  log_het += (long double)logbinom - (long double)nn * logl(2.0L);
+  long double pp1 = expl(log_hom), pp2 = expl(log_het);
+  if (g_prior > 0) {
+    pp1 *= (long double)(1.0 - g_prior);
+    pp2 *= (long double)g_prior;
+  }
+  QualityCall c;
+  c.p1 = lrt(pp2, pp1);
+  c.p2 = lrt(pp1, pp2);
+  c.major = (uint8_t)major;
+  c.second = (uint8_t)second;
+  c.het = c.p2 < g_alpha;
+  return c;
+}
+
 int run_quality(const Parsed& parsed) {
   static const char* alleles = "ACGT";
   if (g_estimate_prior) g_prior = estimate_prior(parsed.sites);
+  // classification is an OpenMP parallel-for over sites, the reference's
+  // actual shape (call.cpp:309-310); serialization stays sequential
+  const int64_t n = (int64_t)parsed.sites.size();
+  std::vector<QualityCall> calls((size_t)n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    calls[(size_t)i] = quality_site(parsed, parsed.sites[(size_t)i]);
+  }
   std::string out;
   out.reserve(parsed.sites.size() * 48);
   out += "chrom,pos,label,gt,hom_conf,het_conf,conf_type\n";
   char num[96];
-  for (const Site& s : parsed.sites) {
-    int major, second;
-    major_second(s.counts, &major, &second);
-    long double log_hom = 0, log_het = 0;
-    for (uint32_t j = 0; j < s.read_n; ++j) {
-      int code = parsed.rcode[s.read_off + j];
-      double err = pow(10.0, (double)parsed.rq[s.read_off + j] / -10.0);
-      log_hom += (code == major) ? log(1.0 - err) : log(err);
-      bool top2 = code == major || code == second;
-      log_het += top2 ? log(1.0 - 2.0 / 3.0 * err) : log(2.0 / 3.0 * err);
-    }
-    // allele-balance binomial (call.cpp:344-349)
-    int64_t nn = (int64_t)s.counts[major] + s.counts[second];
-    int64_t kk = s.counts[second];
-    double logbinom = lgamma((double)nn + 1) - lgamma((double)(nn - kk) + 1) -
-                      lgamma((double)kk + 1);
-    log_het += (long double)logbinom - (long double)nn * logl(2.0L);
-    long double pp1 = expl(log_hom), pp2 = expl(log_het);
-    if (g_prior > 0) {
-      pp1 *= (long double)(1.0 - g_prior);
-      pp2 *= (long double)g_prior;
-    }
-    double p1 = lrt(pp2, pp1), p2 = lrt(pp1, pp2);
-    bool het = p2 < g_alpha;
+  for (int64_t i = 0; i < n; ++i) {
+    const Site& s = parsed.sites[(size_t)i];
+    const QualityCall& c = calls[(size_t)i];
     out += parsed.chroms[(size_t)s.chrom_id];
     snprintf(num, sizeof num, ",%d,", s.pos);
     out += num;
-    out += het ? "het," : "hom,";
-    out += alleles[major];
-    out += het ? alleles[second] : alleles[major];
-    snprintf(num, sizeof num, ",%g,%g,p_value\n", p1, p2);
+    out += c.het ? "het," : "hom,";
+    out += alleles[c.major];
+    out += c.het ? alleles[c.second] : alleles[c.major];
+    snprintf(num, sizeof num, ",%g,%g,p_value\n", c.p1, c.p2);
     out += num;
   }
   fwrite(out.data(), 1, out.size(), stdout);
