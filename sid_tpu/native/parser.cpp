@@ -811,6 +811,16 @@ inline uint64_t mul_hi_round(uint64_t a, uint64_t b) {
   return static_cast<uint64_t>((p + (static_cast<unsigned __int128>(1) << 63)) >> 64);
 }
 
+// fallback-rate observability: every snprintf escape from the fast path
+// bumps this counter (relaxed atomic — fallbacks are rare by design, so the
+// common path never touches it). Exposed via sidtpu_format_g_fallbacks().
+std::atomic<uint64_t> g_fmt_fallbacks{0};
+
+inline int fmt_fallback(double v, char* out) {
+  g_fmt_fallbacks.fetch_add(1, std::memory_order_relaxed);
+  return snprintf(out, 32, "%g", v);
+}
+
 // writes %g of v into out (>= 32 bytes), returns length
 inline int format_g6(double v, char* out) {
   uint64_t bits;
@@ -824,7 +834,7 @@ inline int format_g6(double v, char* out) {
     return static_cast<int>(w - out);
   }
   if (bits >= 0x7ff0000000000000ull)  // inf/nan: glibc's spellings
-    return snprintf(out, 32, "%g", v);
+    return fmt_fallback(v, out);
 
   // v = m * 2^e2 with m normalized to [2^63, 2^64)
   int e2 = static_cast<int>(bits >> 52);
@@ -845,12 +855,12 @@ inline int format_g6(double v, char* out) {
   int d = static_cast<int>(std::floor(std::log10(av)));
   for (int attempt = 0; attempt < 2; ++attempt) {
     int K = 5 - d;  // scale so v*10^K has ~6 integer digits
-    if (K < kPow10KMin || K > kPow10KMax) return snprintf(out, 32, "%g", v);
+    if (K < kPow10KMin || K > kPow10KMax) return fmt_fallback(v, out);
     const auto& p = kPow10[K - kPow10KMin];
     uint64_t w64 = mul_hi_round(m, p.sig);
     int ew = e2 + p.exp + 64;  // v*10^K ~= w64 * 2^ew
     int s = -ew;
-    if (s <= 4 || s >= 60) return snprintf(out, 32, "%g", v);
+    if (s <= 4 || s >= 60) return fmt_fallback(v, out);
     uint64_t I = w64 >> s;
     uint64_t frac = w64 & ((1ull << s) - 1);
     // total error of w64 <= 1 lsb (0.5 table + 0.5 product rounding);
@@ -862,7 +872,7 @@ inline int format_g6(double v, char* out) {
       uint64_t half = 1ull << (s - 1);
       if (frac > half + kMargin) D = I + 1;
       else if (frac + kMargin < half) D = I;
-      else return snprintf(out, 32, "%g", v);
+      else return fmt_fallback(v, out);
       X = d;
     } else if (I >= 1000000 && I < 10000000) {
       // 7 integer digits: round at the tens place
@@ -870,13 +880,13 @@ inline int format_g6(double v, char* out) {
       uint64_t half = 5ull << s;
       if (rem > half + kMargin) D = I / 10 + 1;
       else if (rem + kMargin < half) D = I / 10;
-      else return snprintf(out, 32, "%g", v);
+      else return fmt_fallback(v, out);
       X = d + 1;
     } else if (I >= 10000 && I < 100000 && attempt == 0) {
       --d;  // estimate was one high; rescale
       continue;
     } else {
-      return snprintf(out, 32, "%g", v);
+      return fmt_fallback(v, out);
     }
     if (D == 1000000) {  // rounding carried into a new decade
       D = 100000;
@@ -933,7 +943,7 @@ inline int format_g6(double v, char* out) {
     }
     return static_cast<int>(o - out);
   }
-  return snprintf(out, 32, "%g", v);
+  return fmt_fallback(v, out);
 }
 
 // fast %g for the values the LRT emits constantly: the winning hypothesis's
@@ -1609,6 +1619,20 @@ void sidtpu_lynch_marginals_ld(const int32_t* prof, const double* mc_log,
                           out_het, 0);
   };
   run_ranged(U, n_threads, work);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// %g fast-path observability: cumulative count of snprintf fallbacks taken
+// by format_g6 since load (or the last reset). The fast path is
+// glibc-%g-exact by construction; this counter shows how often the
+// rounding-ambiguity escape actually fires on real outputs.
+uint64_t sidtpu_format_g_fallbacks(int reset) {
+  uint64_t v = g_fmt_fallbacks.load(std::memory_order_relaxed);
+  if (reset) g_fmt_fallbacks.store(0, std::memory_order_relaxed);
+  return v;
 }
 
 }  // extern "C"
