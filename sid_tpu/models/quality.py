@@ -156,6 +156,79 @@ def finalize_quality_np(
     return log_pp1, log_pp2
 
 
+def _quality_finalize_native(
+    counts, major, second, log_hom, log_het, snp_prior, alpha, lgamma_tab
+):
+    """Fused native finalize+LRT (one threaded pass); None if unavailable."""
+    import ctypes
+    import os
+
+    if os.environ.get("SIDTPU_NO_NATIVE_FINALIZE"):
+        return None
+    from sid_tpu.io.native import _load
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "sidtpu_quality_finalize"):
+        return None
+    if not getattr(lib, "_sidtpu_qfin_configured", False):
+        lib.sidtpu_quality_finalize.restype = ctypes.c_int
+        lib.sidtpu_quality_finalize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib._sidtpu_qfin_configured = True
+    n = int(np.shape(log_hom)[0])
+    counts = np.ascontiguousarray(counts[:n], np.uint16)
+    major = np.ascontiguousarray(major, np.int32)
+    second = np.ascontiguousarray(second, np.int32)
+    log_hom = np.ascontiguousarray(log_hom, np.float64)
+    log_het = np.ascontiguousarray(log_het, np.float64)
+    tab = np.ascontiguousarray(lgamma_tab, np.float64)
+    use_prior = 1 if snp_prior > 0 else 0
+    lp_hom = float(np.log(np.float64(1.0 - snp_prior))) if use_prior else 0.0
+    lp_het = float(np.log(np.float64(snp_prior))) if use_prior else 0.0
+    p1 = np.empty(n, np.float64)
+    p2 = np.empty(n, np.float64)
+    het = np.empty(n, np.uint8)
+    rc = lib.sidtpu_quality_finalize(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        major.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        second.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        log_hom.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        log_het.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tab.shape[0],
+        lp_hom,
+        lp_het,
+        use_prior,
+        float(alpha),
+        float(common.LONG_DOUBLE_UNDERFLOW_LOG),
+        n,
+        p1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        p2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        het.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        0,
+    )
+    if rc != 0:
+        return None
+    return het.astype(bool), p1, p2
+
+
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     from sid_tpu.utils import profiling
 
@@ -179,17 +252,26 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
 
     if options.mesh_devices is None and options.exact_pvalues:
         # single-device path: the finalization is elementary elementwise f64
-        # — host-side it costs ~30 ms/M sites and zero transfers
+        # — host-side it costs ~30 ms/M sites and zero transfers. The fused
+        # native kernel (one threaded pass) is bitwise-identical to the
+        # numpy composition below (tests/test_quality_finalize_native.py).
         max_cov = int(batch.counts.sum(-1).max()) if n else 0
         tab_np = lgamma_int_table(table_size(2 * max_cov))
-        lpp1, lpp2 = finalize_quality_np(
+        fused = _quality_finalize_native(
             batch.counts, major[:n], second[:n], log_hom[:n], log_het[:n],
-            snp_prior, tab_np,
+            snp_prior, options.significance_level, tab_np,
         )
-        p1 = stats.lrt_pvalue_from_logs_np(lpp2, lpp1)
-        p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
-        with np.errstate(invalid="ignore"):
-            is_het = p2 < options.significance_level
+        if fused is not None:
+            is_het, p1, p2 = fused
+        else:
+            lpp1, lpp2 = finalize_quality_np(
+                batch.counts, major[:n], second[:n], log_hom[:n], log_het[:n],
+                snp_prior, tab_np,
+            )
+            p1 = stats.lrt_pvalue_from_logs_np(lpp2, lpp1)
+            p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
+            with np.errstate(invalid="ignore"):
+                is_het = p2 < options.significance_level
         return common.CallResult(
             chrom_id=batch.chrom_id,
             chrom_table=batch.chrom_table,

@@ -14,6 +14,10 @@ OUT = os.path.join(HERE, "libsidtpu.so")
 def build(verbose: bool = True) -> str:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        # per-operation IEEE semantics: -march=native defaults to
+        # -ffp-contract=fast, and FMA-contracted mul-adds round differently
+        # from the numpy/oracle compositions the kernels must match bitwise
+        "-ffp-contract=off",
         "-march=native", "-o", OUT, SRC,
     ]
     if verbose:

@@ -1636,3 +1636,73 @@ uint64_t sidtpu_format_g_fallbacks(int reset) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused quality-method finalization (call.cpp:344-369): allele-balance
+// binomial, 80-bit underflow clamp, prior weighting, and both LRT p-values
+// in ONE threaded pass. Bitwise-identical to the Python composition
+// models/quality.finalize_quality_np + ops/stats.lrt_pvalue_from_logs_np:
+// every operation is elementary IEEE f64 except erfc, which is the same
+// glibc call the host path uses. Prior logs and the underflow constant are
+// passed in precomputed so the caller's (numpy/glibc) values are used
+// verbatim.
+
+extern "C" {
+
+int sidtpu_quality_finalize(
+    const uint16_t* counts,       // (N,4)
+    const int32_t* major, const int32_t* second,
+    const double* log_hom, const double* log_het,
+    const double* lgamma_tab, int64_t tab_len,
+    double log_prior_hom, double log_prior_het, int use_prior,
+    double alpha, double underflow_log, int64_t n,
+    double* out_p1, double* out_p2, uint8_t* out_het, int n_threads) {
+  // precondition: the table covers n_major+n_second+1 for every site
+  int64_t max_n = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint16_t* c = counts + i * 4;
+    int64_t nn = (int64_t)c[major[i] & 3] + c[second[i] & 3];
+    if (nn > max_n) max_n = nn;
+  }
+  if (max_n + 1 >= tab_len) return -1;
+
+  const double ln2 = log(2.0);
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint16_t* c = counts + i * 4;
+      const int64_t nn = (int64_t)c[major[i] & 3] + c[second[i] & 3];
+      const int64_t kk = c[second[i] & 3];
+      const double log_c =
+          lgamma_tab[nn + 1] - lgamma_tab[nn - kk + 1] - lgamma_tab[kk + 1];
+      double lh = log_hom[i];
+      double lt = log_het[i] + log_c - (double)nn * ln2;
+      // clamp BEFORE the prior (finalize_quality_np order)
+      double lpp1 = lh < underflow_log ? -INFINITY : lh;
+      double lpp2 = lt < underflow_log ? -INFINITY : lt;
+      if (use_prior) {
+        lpp1 += log_prior_hom;
+        lpp2 += log_prior_het;
+      }
+      // LRT x2 (sidtpu_lrt_pvalues arithmetic: NaN-propagating max)
+      {
+        const double d = lpp1 - lpp2;
+        const double m = (d > 0.0 || d != d) ? d : 0.0;
+        double p = erfc(sqrt(m));
+        if (std::isinf(lpp2) && lpp2 < 0.0) p = 0.0;
+        out_p1[i] = p;
+      }
+      {
+        const double d = lpp2 - lpp1;
+        const double m = (d > 0.0 || d != d) ? d : 0.0;
+        double p = erfc(sqrt(m));
+        if (std::isinf(lpp1) && lpp1 < 0.0) p = 0.0;
+        out_p2[i] = p;
+      }
+      out_het[i] = out_p2[i] < alpha ? 1 : 0;
+    }
+  };
+  run_ranged(n, n_threads, work);
+  return 0;
+}
+
+}  // extern "C"

@@ -70,19 +70,28 @@ def warm_cache(
     # loop + prior-weighted classify; bayes compiles the fit-with-posterior
     # path; local/quality compile the per-site kernels and erfc chain.
     plan = [
-        ("local", False),
-        ("quality", False),
-        ("bayes", False),
-        ("likelihood_ratio", True),
-        ("local", True),  # -R local: fit-for-prior + capped-error classify
+        # (method, estimate_prior, extra Options overrides)
+        ("local", False, {}),
+        ("quality", False, {}),
+        ("bayes", False, {}),
+        ("likelihood_ratio", True, {}),
+        ("local", True, {}),  # -R local: fit-for-prior + capped-error classify
+        # explicit device paths (defaults run these stages on host since r3):
+        # the jitted Lynch fit while-loop, the full device local classify,
+        # and the device quality finalize
+        ("bayes", False, {"fit_backend": "device"}),
+        ("likelihood_ratio", True, {"fit_backend": "device"}),
+        ("local", False, {"exact_pvalues": False}),
+        ("quality", False, {"exact_pvalues": False}),
     ]
-    for method, est in plan:
+    for method, est, extra in plan:
         opts = dataclasses.replace(
             options, method=method, estimate_prior=est, diagnostics=False,
-            stream=False, population="", multihost=False,
+            stream=False, population="", multihost=False, **extra,
         )
         t0 = time.time()
         engine.run(text, opts, binary=True)
         flag = " -R" if est else ""
-        log(f"# warm {method}{flag}: {time.time() - t0:.1f}s")
+        suffix = "".join(f" {k}={v}" for k, v in extra.items())
+        log(f"# warm {method}{flag}{suffix}: {time.time() - t0:.1f}s")
     return len(plan)
