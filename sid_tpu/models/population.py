@@ -97,11 +97,16 @@ def fit_population(
     histograms: Sequence[Tuple[np.ndarray, np.ndarray]],
     mode: str = "pooled",
     diag=None,
+    mesh_devices: Optional[int] = None,
 ) -> Tuple[List[SampleFit], Optional[SampleFit]]:
     """Fit the Lynch model over per-sample (cov>=4-filtered) histograms.
 
     Returns (per-sample fits, pooled fit or None). ``mode`` is "pooled" or
-    "independent".
+    "independent". With ``mesh_devices``, the vmapped per-sample fits shard
+    over the SAMPLE axis of a device mesh (BASELINE config 5: 100-sample
+    batches across a pod slice) — each device runs its samples' while-loops
+    independently, zero collectives; the S axis is padded to a multiple of
+    the mesh with inert all-zero histograms.
     """
     max_cov = max(
         (int(p.sum(-1).max()) for p, _ in histograms if p.shape[0]), default=0
@@ -109,6 +114,28 @@ def fit_population(
     tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     profs, mults = _pad_stack(histograms)
     nts = np.stack([nucleotide_distribution(p, m) for p, m in histograms])
+
+    s_real = len(histograms)
+    if mesh_devices is not None:
+        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+        mesh = make_site_mesh(mesh_devices)
+        n_dev = int(np.prod(mesh.devices.shape))
+        s_pad = -(-s_real // n_dev) * n_dev
+        if s_pad != s_real:
+            profs = np.concatenate(
+                [profs, np.zeros((s_pad - s_real,) + profs.shape[1:], profs.dtype)]
+            )
+            mults = np.concatenate(
+                [mults, np.zeros((s_pad - s_real,) + mults.shape[1:], mults.dtype)]
+            )
+            # uniform nt keeps the inert lanes' objective finite
+            nts = np.concatenate(
+                [nts, np.full((s_pad - s_real, 4), 0.25, nts.dtype)]
+            )
+        profs = jax.device_put(profs, row_sharding(mesh, 3))
+        mults = jax.device_put(mults, row_sharding(mesh, 2))
+        nts = jax.device_put(nts, row_sharding(mesh, 2))
 
     pooled = None
     if mode == "pooled":
@@ -135,13 +162,13 @@ def fit_population(
         )
         fits = [
             SampleFit(float(r.x[i, 0]), pooled.eps, bool(r.converged[i]))
-            for i in range(len(histograms))
+            for i in range(s_real)
         ]
     else:
         r = _fit_batched(jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts), tab)
         fits = [
             SampleFit(float(r.x[i, 0]), float(r.x[i, 1]), bool(r.converged[i]))
-            for i in range(len(histograms))
+            for i in range(s_real)
         ]
     return fits, pooled
 
@@ -196,7 +223,9 @@ def call_population(
         fp, fm, _ = filter_min_coverage(p, m, 4)
         histograms.append((fp, fm))
 
-    fits, pooled = fit_population(histograms, mode=mode, diag=diag)
+    fits, pooled = fit_population(
+        histograms, mode=mode, diag=diag, mesh_devices=options.mesh_devices
+    )
 
     results = []
     for b, (p, m, inv), fit in zip(batches, uniques, fits):
@@ -242,7 +271,9 @@ def call_population_streaming(
     filtered_hists = [
         filter_min_coverage(p, m, 4)[:2] for p, m in full_hists
     ]
-    fits, pooled = fit_population(filtered_hists, mode=mode, diag=diag)
+    fits, pooled = fit_population(
+        filtered_hists, mode=mode, diag=diag, mesh_devices=options.mesh_devices
+    )
 
     needs_reads = options.method == "quality"
     counts = []
