@@ -43,8 +43,8 @@ _LONG_OPTIONS = [
     ("chunk-mb=", "Streaming chunk size in MB (default 64)"),
     ("profile", "Print per-stage timing report to stderr"),
     ("platform=", "Force the JAX platform (e.g. 'cpu'); also honored from SIDTPU_PLATFORM"),
-    ("checkpoint=", "Persist/reuse the pass-1 histogram (.npz) in streaming mode"),
-    ("resume", "Resume a streaming run: reuse checkpoint + continue pass 2 (file output only)"),
+    ("checkpoint=", "Persist/reuse the pass-1 histogram (.npz) in streaming or multihost mode"),
+    ("resume", "Resume a streaming/multihost run: reuse checkpoint + completed chunks/parts"),
     ("population=", "Joint multi-sample calling: 'pooled' (shared error rate) or 'independent'; all positional args are sample pileups, outputs <input>.calls.csv"),
     ("multihost", "Multi-host data-parallel run (jax.distributed): requires --output; honors SIDTPU_COORDINATOR/SIDTPU_NUM_PROCESSES/SIDTPU_PROCESS_ID or TPU-pod auto-detection"),
     ("warm-cache", "Compile all production kernel shape buckets into the persistent XLA cache, then exit (no input file needed)"),

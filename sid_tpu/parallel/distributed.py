@@ -156,14 +156,49 @@ def run_multihost(
     # unique-profile histogram, never materializing a parsed range. Memory
     # is bounded by chunk_bytes per process (run-sid.sh:4-18's per-
     # chromosome zcat streaming, upgraded to byte ranges + global fit).
+    # --checkpoint persists the MERGED global histogram (fingerprint-keyed);
+    # on --resume every process tries to load it, and pass 1 + the allgather
+    # are skipped only when ALL processes loaded it (the decision is itself
+    # all-gathered so no process deadlocks on a missing collective).
+    fp = ""
+    if options.checkpoint or options.resume:
+        from sid_tpu.utils.checkpoint import input_fingerprint
+
+        fp = input_fingerprint(path)
+
     need_hist = method != "quality" or options.estimate_prior
     if need_hist:
-        def _my_chunks():
-            for start, end in my_ranges:
-                yield from iter_range_chunks(path, start, end, chunk_bytes)
+        loaded = None
+        if options.checkpoint:
+            from sid_tpu.utils.checkpoint import load_fit_state
 
-        lp, lm, _ = accumulate_histogram_chunks(_my_chunks(), options.io_backend)
-        profiles, mult = allgather_histogram(lp, lm)
+            if options.resume:
+                state = load_fit_state(options.checkpoint, fingerprint=fp)
+                if state is not None:
+                    loaded = (state["profiles"], state["mult"])
+        all_loaded = loaded is not None
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.array([1 if loaded is not None else 0])
+            )
+            all_loaded = bool(np.min(flags) == 1)
+        if all_loaded:
+            profiles, mult = loaded
+        else:
+            def _my_chunks():
+                for start, end in my_ranges:
+                    yield from iter_range_chunks(path, start, end, chunk_bytes)
+
+            lp, lm, _ = accumulate_histogram_chunks(
+                _my_chunks(), options.io_backend
+            )
+            profiles, mult = allgather_histogram(lp, lm)
+            if options.checkpoint and pid == 0:
+                from sid_tpu.utils.checkpoint import save_fit_state
+
+                save_fit_state(options.checkpoint, profiles, mult, fingerprint=fp)
 
     # identical global classification table on every process
     conf_type = "p_value"
@@ -202,13 +237,29 @@ def run_multihost(
         raise ValueError(f"run_multihost does not support method {method!r}")
 
     # pass 2: re-parse own ranges chunk-by-chunk, classify, append to the
-    # part file — the parsed batch never outlives its chunk
+    # part file — the parsed batch never outlives its chunk. Parts are
+    # written to a .tmp and atomically renamed with a .done marker, so
+    # --resume skips ranges a previous (crashed) run completed: rerunnable
+    # shards (SURVEY §5.4), per range rather than per chromosome.
     import dataclasses as _dc
 
     part_paths = []
     for start, end in my_ranges:
         part = f"{out_path}.part{start:016d}"
-        with open(part, "wb") as f:
+        done = part + ".done"
+        if options.resume and os.path.exists(done) and os.path.exists(part):
+            # the marker stores the input fingerprint: a part from a
+            # different/modified input is never silently reused
+            try:
+                with open(done) as df:
+                    marker_fp = df.read().strip()
+            except OSError:
+                marker_fp = None
+            if marker_fp == fp:
+                part_paths.append(part)
+                continue
+        tmp = part + ".tmp"
+        with open(tmp, "wb") as f:
             for chunk in iter_range_chunks(path, start, end, chunk_bytes):
                 batch = parse_pileup(
                     chunk, needs_reads, needs_reads, backend=options.io_backend
@@ -223,6 +274,9 @@ def run_multihost(
                 else:
                     res = common.join_class_table(batch, keys, cls, conf_type)
                 f.write(res.to_csv_bytes(include_header=False))
+        os.replace(tmp, part)
+        with open(done, "w") as df:
+            df.write(fp)
         part_paths.append(part)
 
     if nproc > 1:
@@ -241,4 +295,8 @@ def run_multihost(
             with open(part, "rb") as pf:
                 f.write(pf.read())
             os.remove(part)
+            try:
+                os.remove(part + ".done")
+            except OSError:
+                pass
     return out_path

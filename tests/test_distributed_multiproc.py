@@ -190,3 +190,59 @@ def test_three_process_uneven_ranges(pileup_file, tmp_path):
         port,
     )
     assert multi.read_bytes() == single.read_bytes()
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_two_process(pileup_file, tmp_path):
+    """--checkpoint persists the merged histogram; --resume skips pass 1
+    (all-processes decision) and reuses completed parts; output unchanged."""
+    ckpt = tmp_path / "hist.npz"
+    out1 = tmp_path / "first.csv"
+    out2 = tmp_path / "resumed.csv"
+    args = ["-R", "-m", "likelihood_ratio", "--multihost",
+            "--checkpoint", str(ckpt)]
+    port = _free_port()
+    _spawn_multihost([*args, "--output", str(out1), pileup_file], 2, port)
+    assert ckpt.exists()
+    port = _free_port()
+    _spawn_multihost(
+        [*args, "--resume", "--output", str(out2), pileup_file], 2, port
+    )
+    assert out2.read_bytes() == out1.read_bytes()
+
+
+def test_part_resume_reuses_completed_ranges(pileup_file, tmp_path):
+    """Single-process mechanism test: a part with a matching .done
+    fingerprint is reused verbatim; a stale-fingerprint part is recomputed."""
+    import dataclasses
+
+    from sid_tpu.config import Options
+    from sid_tpu.parallel.distributed import byte_ranges, run_multihost
+    from sid_tpu.utils.checkpoint import input_fingerprint
+
+    opts = Options(method="local", resume=True, output="ignored")
+    out = tmp_path / "o.csv"
+    ranges = byte_ranges(pileup_file, 2)
+    fp = input_fingerprint(pileup_file)
+
+    # plant a sentinel part for the SECOND range with a valid marker
+    sentinel = b"SENTINEL-REUSED\n"
+    start = ranges[1][0]
+    part = f"{out}.part{start:016d}"
+    with open(part, "wb") as f:
+        f.write(sentinel)
+    with open(part + ".done", "w") as f:
+        f.write(fp)
+    run_multihost(pileup_file, opts, str(out), ranges_per_process=2)
+    data = out.read_bytes()
+    assert sentinel in data  # the completed range was reused, not recomputed
+
+    # same plant but with a stale fingerprint: must be recomputed
+    out_b = tmp_path / "b.csv"
+    part_b = f"{out_b}.part{start:016d}"
+    with open(part_b, "wb") as f:
+        f.write(sentinel)
+    with open(part_b + ".done", "w") as f:
+        f.write("stale:fingerprint")
+    run_multihost(pileup_file, opts, str(out_b), ranges_per_process=2)
+    assert sentinel not in out_b.read_bytes()
