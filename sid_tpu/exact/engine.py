@@ -51,6 +51,48 @@ def _estimate_prior(batch_counts: np.ndarray, diag) -> float:
     return pi
 
 
+def local_classify_profiles_ld(
+    profiles: np.ndarray,
+    major: np.ndarray,
+    second: np.ndarray,
+    error_threshold: float,
+    snp_prior: float,
+    alpha: float,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-profile ``local`` classification (call.cpp:238-273), long double.
+
+    The numpy-longdouble spec for the native ``sidtpu_local_classify_ld``
+    kernel (tests/test_native_local_ld.py asserts bitwise equality).
+    Returns (is_het, p1, p2) over the unique-profile axis.
+    """
+    prof64 = np.asarray(profiles).astype(np.int64)
+    cov = prof64.sum(-1).astype(np.float64)
+    n1 = np.take_along_axis(prof64, major[:, None].astype(np.int64), 1)[:, 0].astype(
+        np.float64
+    )
+    n2 = np.take_along_axis(prof64, second[:, None].astype(np.int64), 1)[:, 0].astype(
+        np.float64
+    )
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        error1 = (cov - n1) / cov
+        error1 = np.where(error1 > error_threshold, error_threshold, error1)
+        l1 = lynch_ld.hom_fixed_ld(profiles, error1, major)
+        error2 = 1.5 * (cov - n1 - n2) / cov
+        error2 = np.where(error2 > error_threshold, error_threshold, error2)
+        l2 = lynch_ld.het_fixed_ld(profiles, error2, major, second)
+
+        if snp_prior > 0:
+            l1 = l1 * LD(np.float64(1.0 - snp_prior))
+            l2 = l2 * LD(np.float64(snp_prior))
+
+    p1 = stats_ld.lrt_pvalue_ld(l2, l1)
+    p2 = stats_ld.lrt_pvalue_ld(l1, l2)
+    with np.errstate(invalid="ignore"):
+        is_het = (l2 > l1) & (p2 < alpha)
+    return is_het, p1, p2
+
+
 def call_local_exact(batch, options: Options, diag=None) -> common.CallResult:
     """callSiteMLError (call.cpp:213-289) in exact host arithmetic."""
     profiles, mult, inverse = unique_profiles(batch.counts)
@@ -62,34 +104,11 @@ def call_local_exact(batch, options: Options, diag=None) -> common.CallResult:
     if u == 0:
         return _empty_result(batch, "p_value", inverse)
 
-    prof64 = profiles.astype(np.int64)
-    cov = prof64.sum(-1).astype(np.float64)
     major, second = common.major_allele_indices_np(profiles)
-    n1 = np.take_along_axis(prof64, major[:, None].astype(np.int64), 1)[:, 0].astype(
-        np.float64
+    is_het, p1, p2 = local_classify_profiles_ld(
+        profiles, major, second, options.site_error_threshold, snp_prior,
+        options.significance_level,
     )
-    n2 = np.take_along_axis(prof64, second[:, None].astype(np.int64), 1)[:, 0].astype(
-        np.float64
-    )
-
-    with np.errstate(invalid="ignore", divide="ignore"):
-        error1 = (cov - n1) / cov
-        error1 = np.where(error1 > options.site_error_threshold,
-                          options.site_error_threshold, error1)
-        l1 = lynch_ld.hom_fixed_ld(profiles, error1, major)
-        error2 = 1.5 * (cov - n1 - n2) / cov
-        error2 = np.where(error2 > options.site_error_threshold,
-                          options.site_error_threshold, error2)
-        l2 = lynch_ld.het_fixed_ld(profiles, error2, major, second)
-
-        if snp_prior > 0:
-            l1 = l1 * LD(np.float64(1.0 - snp_prior))
-            l2 = l2 * LD(np.float64(snp_prior))
-
-    p1 = stats_ld.lrt_pvalue_ld(l2, l1)
-    p2 = stats_ld.lrt_pvalue_ld(l1, l2)
-    with np.errstate(invalid="ignore"):
-        is_het = (l2 > l1) & (p2 < options.significance_level)
 
     return common.gather_result(
         batch, "p_value", inverse, is_het, major, second, p1, p2

@@ -239,6 +239,70 @@ def _native_lynch_lib():
     return lib
 
 
+def native_local_classify_ld(
+    profiles: np.ndarray,
+    major: np.ndarray,
+    second: np.ndarray,
+    error_threshold: float,
+    snp_prior: float,
+    alpha: float,
+):
+    """Native oracle-precision ``local`` classification (call.cpp:238-273).
+
+    Threaded long-double kernel, bitwise-identical to
+    exact/engine.local_classify_profiles_ld (differentially tested in
+    tests/test_native_local_ld.py). Returns (is_het, p1, p2) over the
+    unique-profile axis, or None when libsidtpu is unavailable.
+    """
+    lib = _native_lynch_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_sidtpu_local_ld_configured", False):
+        try:
+            lib.sidtpu_local_classify_ld.restype = None
+            lib.sidtpu_local_classify_ld.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
+        except AttributeError:
+            return None
+        lib._sidtpu_local_ld_configured = True
+
+    prof = np.ascontiguousarray(profiles, np.int32)
+    u = int(prof.shape[0])
+    mc_log = np.ascontiguousarray(_mc_log_f64(prof), np.float64)
+    major = np.ascontiguousarray(major, np.int32)
+    second = np.ascontiguousarray(second, np.int32)
+    p1 = np.empty(u, np.float64)
+    p2 = np.empty(u, np.float64)
+    is_het = np.empty(u, np.uint8)
+    lib.sidtpu_local_classify_ld(
+        prof.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mc_log.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        major.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        second.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        float(error_threshold),
+        float(snp_prior),
+        float(alpha),
+        u,
+        p1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        p2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        is_het.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        0,
+    )
+    return is_het.astype(bool), p1, p2
+
+
 def estimate_profile_genotype_likelihoods_ld(
     profiles: np.ndarray,
     mult: np.ndarray,

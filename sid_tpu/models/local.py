@@ -99,9 +99,30 @@ def classify_profiles_local(
     profiles: np.ndarray, options: Options, snp_prior: float, mesh_devices=None
 ):
     """Per-class local classification; returns 5 host arrays over U."""
+    import os
+
     from sid_tpu.utils import profiling
 
     u = profiles.shape[0]
+    max_u = int(os.environ.get("SIDTPU_EXACT_LOCAL_MAX_U", "1000000"))
+    if mesh_devices is None and options.exact_pvalues and 0 < u <= max_u:
+        # single-device path: run the whole per-profile loop in oracle
+        # long-double arithmetic on host (native threaded kernel, byte-equal
+        # to the exact engine BY CONSTRUCTION — the same pattern as the
+        # "auto" exact fit). Through a remote-tunnel device this also removes
+        # the last transfer round trip; the device kernels below remain the
+        # sharded-mesh path. call.cpp:238-273.
+        from sid_tpu.exact.lynch_ld import native_local_classify_ld
+
+        major, second = common.major_allele_indices_np(profiles)
+        with profiling.maybe_stage("host:local_classify_ld"):
+            nat = native_local_classify_ld(
+                profiles, major, second, options.site_error_threshold,
+                snp_prior, options.significance_level,
+            )
+        if nat is not None:
+            is_het, p1, p2 = nat
+            return is_het, major, second, p1, p2
     max_cov = int(profiles.sum(-1).max()) if u else 0
     tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     padded = pad_axis0(np.asarray(profiles, np.int32))

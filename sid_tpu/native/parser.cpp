@@ -1706,3 +1706,88 @@ int sidtpu_quality_finalize(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-profile `local`-method classification (callSiteMLError's per-profile
+// loop, call.cpp:238-273) in oracle long-double arithmetic. Bitwise-identical
+// to the numpy longdouble spec exact/engine.local_classify_profiles_ld
+// (itself the oracle for the reference's plug-in-error kernels
+// lynch.hpp:76-96 and likelihoodRatioTest stats.cpp:29-37): error rates in
+// f64 with the NaN-preserving threshold cap, bases computed in f64 then
+// promoted to long double, per-profile powl/expl/logl are the same glibc
+// calls numpy longdouble makes, and the chi-square survival function is
+// glibc erfc on f64. The f64 log multinomial coefficients come in from
+// Python (scipy gammaln — the oracle's lgamma source).
+
+namespace {
+
+// stats_ld.lrt_pvalue_ld (stats.cpp:29-37) on linear long doubles.
+// `a != 0` is NaN-inclusive (the oracle's branch); max follows Python's
+// max(a, b) = b if b > a else a.
+double lrt_pvalue_linear_ld(long double a, long double b) {
+  if (a != 0.0L) {
+    const long double mx = (b > a) ? b : a;
+    const double chisq = static_cast<double>(-2.0L * (logl(a) - logl(mx)));
+    return erfc(sqrt(chisq * 0.5));
+  }
+  return 0.0;  // gsl_cdf_chisq_Q(DBL_MAX, 1) underflows to 0
+}
+
+}  // namespace
+
+extern "C" {
+
+void sidtpu_local_classify_ld(const int32_t* prof, const double* mc_log,
+                              const int32_t* major, const int32_t* second,
+                              double error_threshold, double snp_prior,
+                              double alpha, int64_t U, double* out_p1,
+                              double* out_p2, uint8_t* out_het,
+                              int n_threads) {
+  const long double prior_hom =
+      static_cast<long double>(1.0 - snp_prior);  // f64 first, then promote
+  const long double prior_het = static_cast<long double>(snp_prior);
+  const int use_prior = snp_prior > 0.0;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t u = lo; u < hi; ++u) {
+      const int32_t* p = prof + u * 4;
+      const int icov = p[0] + p[1] + p[2] + p[3];
+      const double cov = static_cast<double>(icov);
+      const double n1 = static_cast<double>(p[major[u] & 3]);
+      const double n2 = static_cast<double>(p[second[u] & 3]);
+
+      // plug-in error rates (call.cpp:242-254); 0/0 -> NaN rides through the
+      // threshold cap (NaN > thr is false) and powl(x, 0) == 1 below
+      double e1 = (cov - n1) / cov;
+      if (e1 > error_threshold) e1 = error_threshold;
+      double e2 = 1.5 * (cov - n1 - n2) / cov;
+      if (e2 > error_threshold) e2 = error_threshold;
+
+      const long double mc = expl(static_cast<long double>(mc_log[u]));
+      // hom at the major allele (lynch.hpp:92-96 / hom_fixed_ld)
+      const long double mb1 = static_cast<long double>(1.0 - e1);
+      const long double eb1 = static_cast<long double>(e1 / 3.0);
+      const int n0 = p[major[u] & 3];
+      long double l1 = mc * powl(mb1, static_cast<long double>(n0)) *
+                       powl(eb1, static_cast<long double>(icov - n0));
+      // het at (major, second) (lynch.hpp:76-80 / het_fixed_ld)
+      const long double mb2 =
+          static_cast<long double>((1.0 - 2.0 / 3.0 * e2) / 2.0);
+      const long double eb2 = static_cast<long double>(e2 / 3.0);
+      const int n01 = p[major[u] & 3] + p[second[u] & 3];
+      long double l2 = mc * powl(mb2, static_cast<long double>(n01)) *
+                       powl(eb2, static_cast<long double>(icov - n01));
+
+      if (use_prior) {
+        l1 = l1 * prior_hom;
+        l2 = l2 * prior_het;
+      }
+
+      out_p1[u] = lrt_pvalue_linear_ld(l2, l1);
+      out_p2[u] = lrt_pvalue_linear_ld(l1, l2);
+      out_het[u] = (l2 > l1 && out_p2[u] < alpha) ? 1 : 0;
+    }
+  };
+  run_ranged(U, n_threads, work);
+}
+
+}  // extern "C"

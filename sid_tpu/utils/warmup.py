@@ -94,4 +94,26 @@ def warm_cache(
         flag = " -R" if est else ""
         suffix = "".join(f" {k}={v}" for k, v in extra.items())
         log(f"# warm {method}{flag}{suffix}: {time.time() - t0:.1f}s")
-    return len(plan)
+
+    # slim device local kernel (local_log_likelihoods): default single-device
+    # local runs host long-double since r3, so force the device branch by
+    # zeroing the exact-local cap — this bucket still serves meshes and
+    # U > SIDTPU_EXACT_LOCAL_MAX_U inputs
+    import os
+
+    prev = os.environ.get("SIDTPU_EXACT_LOCAL_MAX_U")
+    os.environ["SIDTPU_EXACT_LOCAL_MAX_U"] = "0"
+    try:
+        opts = dataclasses.replace(
+            options, method="local", estimate_prior=False, diagnostics=False,
+            stream=False, population="", multihost=False,
+        )
+        t0 = time.time()
+        engine.run(text, opts, binary=True)
+        log(f"# warm local slim-device: {time.time() - t0:.1f}s")
+    finally:
+        if prev is None:
+            os.environ.pop("SIDTPU_EXACT_LOCAL_MAX_U", None)
+        else:
+            os.environ["SIDTPU_EXACT_LOCAL_MAX_U"] = prev
+    return len(plan) + 1

@@ -193,7 +193,7 @@ class TestWarmCache:
         code, out, err = run_cli(["--warm-cache"], capsys)
         assert code == 0
         assert out == ""  # nothing on stdout: it's a maintenance subcommand
-        assert "# warm-cache: 9 method configs compiled" in err
+        assert "# warm-cache: 10 method configs compiled" in err
         for m in ("local", "quality", "bayes", "likelihood_ratio"):
             assert f"# warm {m}" in err
 

@@ -31,11 +31,27 @@ def test_engine_run_populates_active_profile():
     finally:
         profiling.activate(None)
     names = [n for n, _ in p.stages]
-    # device stages nest inside "call" (they finish first, so they appear
-    # before it in the flat append order)
-    assert [n for n in names if not n.startswith("device:")] == [
+    # default single-device local runs the host long-double classifier:
+    # zero device dispatches; the host classify nests inside "call"
+    assert [n for n in names if not n.startswith(("device:", "host:"))] == [
         "parse", "call", "serialize",
     ]
+    assert "host:local_classify_ld" in names
+    assert p.counters.get("device_dispatches", 0) == 0
+
+
+def test_engine_run_device_path_profile(monkeypatch):
+    """Forcing the slim device kernel records the device stage + dispatch."""
+    monkeypatch.setenv("SIDTPU_EXACT_LOCAL_MAX_U", "0")
+    counts = simulate_diploid_counts(100, coverage=10)
+    text = make_pileup_text(counts)
+    p = profiling.StageProfile()
+    profiling.activate(p)
+    try:
+        engine.run(text, Options(method="local"))
+    finally:
+        profiling.activate(None)
+    names = [n for n, _ in p.stages]
     assert "device:local_log_likelihoods" in names
     assert p.counters.get("device_dispatches") == 1
     assert profiling.device_seconds(p) > 0
