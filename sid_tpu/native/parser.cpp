@@ -27,8 +27,11 @@
 #include <thread>
 #include <vector>
 
-#if defined(__AVX2__)
+#if defined(__AVX2__) || defined(__AVX512BW__)
 #include <immintrin.h>
+#endif
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__) && defined(__AVX512VL__)
+#define SIDTPU_AVX512 1
 #endif
 
 namespace {
@@ -155,6 +158,59 @@ inline int tokenize_avx2(const char* s, const char* line_end,
   return k;
 }
 #endif  // __AVX2__
+
+#if defined(SIDTPU_AVX512)
+// AVX-512 tokenizer: 64-byte chunks, separator bitmasks straight from
+// k-registers (cmpeq_epi8_mask), token boundaries via tzcnt over 64-bit
+// masks. Masked loads (maskz_loadu) never fault on the masked-out tail, so
+// unlike the AVX2 variant this needs no hard_end overread guard. Masked-out
+// lanes read as 0 (not a separator) and are force-marked as separators via
+// ~kmask, matching the AVX2 pad-bits-as-separators convention.
+inline int tokenize_avx512(const char* s, const char* line_end, Tok* toks,
+                           int max_toks) {
+  const size_t len = static_cast<size_t>(line_end - s);
+  int k = 0;
+  size_t tok_start = 0;
+  bool in_tok = false;
+  const __m512i vsp = _mm512_set1_epi8(' ');
+  const __m512i vtb = _mm512_set1_epi8('\t');
+  for (size_t i = 0; i < len; i += 64) {
+    const size_t rem_bytes = len - i;
+    const __mmask64 km =
+        rem_bytes >= 64 ? ~0ull : ((1ull << rem_bytes) - 1ull);
+    const __m512i v = _mm512_maskz_loadu_epi8(km, s + i);
+    uint64_t sep = _mm512_cmpeq_epi8_mask(v, vsp) |
+                   _mm512_cmpeq_epi8_mask(v, vtb) |
+                   ~static_cast<uint64_t>(km);
+    uint64_t rem = ~0ull;  // bits of this chunk not yet consumed
+    for (;;) {
+      if (!in_tok) {
+        const uint64_t cand = ~sep & rem;
+        if (cand == 0) break;  // rest of chunk is separators
+        const unsigned pos = static_cast<unsigned>(__builtin_ctzll(cand));
+        tok_start = i + pos;
+        in_tok = true;
+        rem = pos >= 63 ? 0 : (~0ull << (pos + 1));
+      } else {
+        const uint64_t cand = sep & rem;
+        if (cand == 0) break;  // token continues into the next chunk
+        const unsigned pos = static_cast<unsigned>(__builtin_ctzll(cand));
+        toks[k].p = s + tok_start;
+        toks[k].n = i + pos - tok_start;
+        in_tok = false;
+        if (++k == max_toks) return k;
+        rem = pos >= 63 ? 0 : (~0ull << (pos + 1));
+      }
+    }
+  }
+  if (in_tok && k < max_toks) {  // line length a multiple of 64: close token
+    toks[k].p = s + tok_start;
+    toks[k].n = len - tok_start;
+    ++k;
+  }
+  return k;
+}
+#endif  // SIDTPU_AVX512
 
 inline int32_t parse_atoi(const char* p, size_t n) {
   size_t i = 0;
@@ -328,6 +384,60 @@ inline bool count_bases_avx2(const char* s, size_t n, const char* hard_end,
 }
 #endif  // __AVX2__
 
+#if defined(SIDTPU_AVX512)
+// Per-reference 128-entry class tables for the AVX-512 counts pass: one
+// vpermt2b lookup replaces the AVX2 variant's ten per-letter compares.
+// Classes: 0-3 = A/C/G/T count bucket (after the spec's './,' substitution
+// through the reference byte), 4 = dropped, 5 = '^'/'+'/'-' escape (caller
+// falls back to the grammar path, pileup.cpp:125-147 semantics). vpermt2b
+// indexes with the low 7 bits only, so bytes >= 128 are screened first with
+// vpmovb2m (they classify as dropped in the scalar tables; here they force
+// the scalar fallback, which is exact).
+struct ClassTables128 {
+  alignas(64) uint8_t t[256][128];
+  ClassTables128() {
+    for (int ref = 0; ref < 256; ++ref)
+      for (int b = 0; b < 128; ++b)
+        t[ref][b] = (b == '^' || b == '+' || b == '-')
+                        ? 5
+                        : kCountTables.t[ref][b];
+  }
+};
+const ClassTables128 kClassTables128;
+
+inline bool count_bases_avx512(const char* s, size_t n, uint8_t ref,
+                               uint16_t counts[4]) {
+  const uint8_t* row = kClassTables128.t[ref];
+  const __m512i tab_lo =
+      _mm512_load_si512(reinterpret_cast<const void*>(row));
+  const __m512i tab_hi =
+      _mm512_load_si512(reinterpret_cast<const void*>(row + 64));
+  const __m512i k1 = _mm512_set1_epi8(1), k2 = _mm512_set1_epi8(2);
+  const __m512i k3 = _mm512_set1_epi8(3), k5 = _mm512_set1_epi8(5);
+  const __m512i k0 = _mm512_setzero_si512();
+  uint64_t acc[4] = {0, 0, 0, 0};
+  for (size_t i = 0; i < n; i += 64) {
+    const size_t rem = n - i;
+    const __mmask64 km = rem >= 64 ? ~0ull : ((1ull << rem) - 1ull);
+    const __m512i v = _mm512_maskz_loadu_epi8(km, s + i);
+    if (_mm512_movepi8_mask(v)) return false;  // byte >= 128: scalar path
+    const __m512i cls = _mm512_permutex2var_epi8(tab_lo, v, tab_hi);
+    if (_mm512_mask_cmpeq_epi8_mask(km, cls, k5)) return false;  // escape
+    acc[0] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k0)));
+    acc[1] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k1)));
+    acc[2] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k2)));
+    acc[3] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k3)));
+  }
+  for (int k = 0; k < 4; ++k)
+    counts[k] = static_cast<uint16_t>(counts[k] + acc[k]);
+  return true;
+}
+#endif  // SIDTPU_AVX512
+
 // parse one read-bases token; appends codes/strands, fills counts[4].
 // Single packed-table lookup per byte ('.'/',' resolution, code, strand,
 // escape class all folded into kFullTables); when materializing reads the
@@ -420,7 +530,9 @@ void parse_range(const char* data, const char* end, const char* hard_end,
     const char* line_end = nl ? nl : end;
     ++line_no;
     if (line_end > line) {  // skip empty lines
-#if defined(__AVX2__)
+#if defined(SIDTPU_AVX512)
+      int nt = tokenize_avx512(line, line_end, toks, needed);
+#elif defined(__AVX2__)
       int nt = tokenize_avx2(line, line_end, hard_end, toks, needed);
 #else
       int nt = tokenize(line, line_end, toks, needed);
@@ -451,7 +563,9 @@ void parse_range(const char* data, const char* end, const char* hard_end,
         bool counted = false;
         bool ref_ok = ref != '^' && ref != '+' && ref != '-';
         if (!want_reads && ref_ok) {
-#if defined(__AVX2__)
+#if defined(SIDTPU_AVX512)
+          counted = count_bases_avx512(toks[4].p, toks[4].n, ref, counts);
+#elif defined(__AVX2__)
           counted = count_bases_avx2(toks[4].p, toks[4].n, hard_end, ref, counts);
 #endif
           if (!counted &&
