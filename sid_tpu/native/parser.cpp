@@ -436,6 +436,66 @@ inline bool count_bases_avx512(const char* s, size_t n, uint8_t ref,
     counts[k] = static_cast<uint16_t>(counts[k] + acc[k]);
   return true;
 }
+
+#if defined(__AVX512VBMI2__)
+// Terms-only read-code extraction (the quality method's production parse):
+// classify 64 bytes with the vpermt2b class table, screen escapes, and
+// compress the surviving base codes IN ORDER (vpcompressb) straight into the
+// read_code scratch — replacing the per-byte scalar loop. Exact for tokens
+// without '^'/'+'/'-' after './,' substitution (same precondition as the
+// counts-only fast path; escapes or bytes >= 128 restore the scalar grammar
+// path, pileup.cpp:125-147). Order preservation matters: qualities pair
+// positionally with surviving bases and the term sums are sequential.
+inline bool parse_read_codes_avx512(const Tok& t, uint8_t ref,
+                                    uint16_t counts[4], Shard& out) {
+  const char* s = t.p;
+  const size_t n = t.n;
+  const uint8_t* row = kClassTables128.t[ref];
+  const __m512i tab_lo =
+      _mm512_load_si512(reinterpret_cast<const void*>(row));
+  const __m512i tab_hi =
+      _mm512_load_si512(reinterpret_cast<const void*>(row + 64));
+  const __m512i k1 = _mm512_set1_epi8(1), k2 = _mm512_set1_epi8(2);
+  const __m512i k3 = _mm512_set1_epi8(3), k4 = _mm512_set1_epi8(4);
+  const __m512i k5 = _mm512_set1_epi8(5);
+  const __m512i k0 = _mm512_setzero_si512();
+  const size_t base = out.read_code.size();
+  out.read_code.resize(base + n + 64);  // headroom for full-width stores
+  int8_t* w = out.read_code.data() + base;
+  uint64_t acc[4] = {0, 0, 0, 0};
+  size_t nk = 0;
+  for (size_t i = 0; i < n; i += 64) {
+    const size_t rem = n - i;
+    const __mmask64 km = rem >= 64 ? ~0ull : ((1ull << rem) - 1ull);
+    const __m512i v = _mm512_maskz_loadu_epi8(km, s + i);
+    const __m512i cls = _mm512_permutex2var_epi8(tab_lo, v, tab_hi);
+    if (_mm512_movepi8_mask(v) ||
+        _mm512_mask_cmpeq_epi8_mask(km, cls, k5)) {
+      out.read_code.resize(base);
+      return false;  // byte >= 128 or escape: scalar grammar path
+    }
+    const __mmask64 keep = _mm512_mask_cmplt_epi8_mask(km, cls, k4);
+    acc[0] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k0)));
+    acc[1] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k1)));
+    acc[2] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k2)));
+    acc[3] += static_cast<uint64_t>(
+        __builtin_popcountll(_mm512_mask_cmpeq_epi8_mask(km, cls, k3)));
+    // compress to a register then one unmasked store: vpcompressb's
+    // direct-to-memory form takes a byte-granular store penalty
+    _mm512_storeu_si512(reinterpret_cast<void*>(w + nk),
+                        _mm512_maskz_compress_epi8(keep, cls));
+    nk += static_cast<size_t>(__builtin_popcountll(keep));
+  }
+  out.read_code.resize(base + nk);
+  for (int k = 0; k < 4; ++k)
+    counts[k] = static_cast<uint16_t>(counts[k] + acc[k]);
+  return true;
+}
+#endif  // __AVX512VBMI2__
+
 #endif  // SIDTPU_AVX512
 
 // parse one read-bases token; appends codes/strands, fills counts[4].
@@ -576,6 +636,13 @@ void parse_range(const char* data, const char* end, const char* hard_end,
             counted = true;
           }
         }
+#if defined(SIDTPU_AVX512) && defined(__AVX512VBMI2__)
+        if (!counted && want_reads && drop_reads && ref_ok) {
+          // terms-only mode never needs strands, so the compressed-code
+          // extraction covers it whenever the token is escape-free
+          counted = parse_read_codes_avx512(toks[4], ref, counts, out);
+        }
+#endif
         if (!counted) {
           parse_read_bases(toks[4], ref, counts, want_reads, !drop_reads, out);
         }
