@@ -75,6 +75,52 @@ def _fit_batched(profs, mults, nts, tab):
     return jax.vmap(one)(profs, mults, nts)
 
 
+def _fit_batched_shardmap(mesh, profs, mults, nts, tab):
+    """Sample-axis shard_map around the vmapped independent fits.
+
+    Under plain jit+GSPMD a sharded vmapped ``lax.while_loop`` must keep its
+    (scalar) loop condition globally consistent, which inserts an all-reduce
+    of the any-lane-unconverged predicate on EVERY iteration and locksteps
+    all devices to the slowest sample. shard_map gives each device its own
+    block of samples to fit with an independent while-loop: zero collectives,
+    every device stops at its own block's convergence (the BASELINE config-5
+    layout: embarrassingly parallel per-sample fits across a pod slice).
+    Per-lane results are bitwise equal to the unsharded vmap (while-loop
+    batching masks each lane independently of its batchmates).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sid_tpu.parallel.mesh import SITE_AXIS
+
+    fn = jax.shard_map(
+        _fit_batched,
+        mesh=mesh,
+        in_specs=(P(SITE_AXIS), P(SITE_AXIS), P(SITE_AXIS), P()),
+        out_specs=P(SITE_AXIS),
+        # the body is purely per-shard (no collectives); the vma check
+        # rejects lax.cond branches that mix invariant initial-simplex
+        # constants with varying fit state, so it is disabled
+        check_vma=False,
+    )
+    return jax.jit(fn)(profs, mults, nts, tab)
+
+
+def _fit_pi_batched_shardmap(mesh, profs, mults, nts, eps, tab):
+    """Sample-axis shard_map around the batched 1-D pi fits (see above)."""
+    from jax.sharding import PartitionSpec as P
+
+    from sid_tpu.parallel.mesh import SITE_AXIS
+
+    fn = jax.shard_map(
+        _fit_pi_batched,
+        mesh=mesh,
+        in_specs=(P(SITE_AXIS), P(SITE_AXIS), P(SITE_AXIS), P(), P()),
+        out_specs=P(SITE_AXIS),
+        check_vma=False,  # per-shard only; see _fit_batched_shardmap
+    )
+    return jax.jit(fn)(profs, mults, nts, eps, tab)
+
+
 @jax.jit
 def _fit_pi_batched(profs, mults, nts, eps, tab):
     """vmapped 1-D heterozygosity fits at a shared fixed error rate."""
@@ -116,6 +162,7 @@ def fit_population(
     nts = np.stack([nucleotide_distribution(p, m) for p, m in histograms])
 
     s_real = len(histograms)
+    mesh = None
     if mesh_devices is not None:
         from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
 
@@ -156,12 +203,27 @@ def fit_population(
         if diag:
             diag(f"# pooled heterozygosity: {pooled.pi:.6e}")
             diag(f"# pooled error: {pooled.eps:.6e}")
-        r = _fit_pi_batched(
-            jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts),
-            jnp.float64(pooled.eps), tab,
-        )
+        if mesh is not None:
+            r = _fit_pi_batched_shardmap(
+                mesh, jnp.asarray(profs), jnp.asarray(mults),
+                jnp.asarray(nts), jnp.float64(pooled.eps), tab,
+            )
+        else:
+            r = _fit_pi_batched(
+                jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts),
+                jnp.float64(pooled.eps), tab,
+            )
         fits = [
             SampleFit(float(r.x[i, 0]), pooled.eps, bool(r.converged[i]))
+            for i in range(s_real)
+        ]
+    elif mesh is not None:
+        r = _fit_batched_shardmap(
+            mesh, jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts),
+            tab,
+        )
+        fits = [
+            SampleFit(float(r.x[i, 0]), float(r.x[i, 1]), bool(r.converged[i]))
             for i in range(s_real)
         ]
     else:
