@@ -249,11 +249,18 @@ def run_streaming(
 # TPU tunnel, so chunked overlap only pays off when the input is too big to
 # hold comfortably in RAM anyway; below the threshold the monolithic path
 # (one dispatch) is faster. On hardware with local submission the threshold
-# can drop via SIDTPU_PIPELINE_MB.
+# can drop via SIDTPU_PIPELINE_MB. Both knobs are read per call so tests can
+# drive the pipeline on small inputs (tests/test_pipeline_overlap.py asserts
+# byte equality with the monolithic path).
 import os as _os_env
 
-_PIPELINE_THRESHOLD_BYTES = int(_os_env.environ.get("SIDTPU_PIPELINE_MB", "1024")) << 20
-_PIPELINE_CHUNK_BYTES = 128 << 20
+
+def _pipeline_threshold_bytes() -> int:
+    return int(_os_env.environ.get("SIDTPU_PIPELINE_MB", "1024")) << 20
+
+
+def _pipeline_chunk_bytes() -> int:
+    return int(_os_env.environ.get("SIDTPU_PIPELINE_CHUNK_MB", "128")) << 20
 
 
 def _run_pipelined_single_pass(data, options: Options, diag, binary: bool = False):
@@ -285,7 +292,7 @@ def _run_pipelined_single_pass(data, options: Options, diag, binary: bool = Fals
     header = CSV_HEADER + "\n"
     parts = [header.encode() if binary else header]
     with profiling.maybe_stage("pipeline"), ThreadPoolExecutor(1) as ex:
-        it = iter_chunks(data, _PIPELINE_CHUNK_BYTES)
+        it = iter_chunks(data, _pipeline_chunk_bytes())
         first = next(it, None)
         if first is None:
             return parts[0]
@@ -304,5 +311,5 @@ def _pipeline_eligible(options: Options, size: int) -> bool:
         and not options.estimate_prior
         and not options.per_shard_fit
         and options.engine == "device"
-        and size >= _PIPELINE_THRESHOLD_BYTES
+        and size >= _pipeline_threshold_bytes()
     )

@@ -34,6 +34,7 @@ from sid_tpu.ops.profiles import (
     unique_profiles,
 )
 from sid_tpu.parallel.distributed import merge_histograms
+from sid_tpu.utils.padding import bucket_size, pad_axis0
 
 
 @dataclasses.dataclass
@@ -46,12 +47,19 @@ class SampleFit:
 def _pad_stack(
     histograms: Sequence[Tuple[np.ndarray, np.ndarray]]
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Stack per-sample (profiles, mult) into (S, U_max, 4) / (S, U_max)."""
+    """Stack per-sample (profiles, mult) into (S, U_pad, 4) / (S, U_pad).
+
+    U_pad is the standard shape bucket (pow-2, 8192 floor — utils.padding),
+    NOT the raw cohort maximum: every new cohort shape would otherwise be a
+    fresh multi-minute remote compile on the real chip (CLAUDE.md: keep
+    shapes in the existing buckets). Zero-mult padding rows are inert in the
+    fit objective.
+    """
     u_max = max((p.shape[0] for p, _ in histograms), default=1)
-    u_max = max(u_max, 1)
+    u_pad = bucket_size(max(u_max, 1))
     s = len(histograms)
-    profs = np.zeros((s, u_max, 4), np.int32)
-    mults = np.zeros((s, u_max), np.int64)
+    profs = np.zeros((s, u_pad, 4), np.int32)
+    mults = np.zeros((s, u_pad), np.int64)
     for i, (p, m) in enumerate(histograms):
         profs[i, : p.shape[0]] = p
         mults[i, : m.shape[0]] = m
@@ -99,7 +107,12 @@ def _fit_batched_shardmap(mesh, profs, mults, nts, tab):
         out_specs=P(SITE_AXIS),
         # the body is purely per-shard (no collectives); the vma check
         # rejects lax.cond branches that mix invariant initial-simplex
-        # constants with varying fit state, so it is disabled
+        # constants with varying fit state, so it is disabled. TODO: scope
+        # the disable to the nmsimplex lax.cond once the vma checker learns
+        # that pattern. With the check off, a collective accidentally added
+        # inside _fit_batched would NOT be caught at trace time — the guard
+        # is tests/test_population.py::test_sharded_fits_identical (bitwise
+        # vmap-equality), which must stay in CI as long as check_vma=False.
         check_vma=False,
     )
     return jax.jit(fn)(profs, mults, nts, tab)
@@ -116,7 +129,8 @@ def _fit_pi_batched_shardmap(mesh, profs, mults, nts, eps, tab):
         mesh=mesh,
         in_specs=(P(SITE_AXIS), P(SITE_AXIS), P(SITE_AXIS), P(), P()),
         out_specs=P(SITE_AXIS),
-        check_vma=False,  # per-shard only; see _fit_batched_shardmap
+        check_vma=False,  # per-shard only; guarded by the same bitwise
+        # vmap-equality test as _fit_batched_shardmap (see comment there)
     )
     return jax.jit(fn)(profs, mults, nts, eps, tab)
 
@@ -190,10 +204,13 @@ def fit_population(
         pnt = nucleotide_distribution(pp, pm)
         pmax = int(pp.sum(-1).max()) if pp.shape[0] else 0
         ptab = jnp.asarray(lgamma_int_table(table_size(pmax)))
+        # bucket-pad the pooled histogram too (zero-mult rows are inert)
+        pp_pad = pad_axis0(np.asarray(pp, np.int32))
+        pm_pad = pad_axis0(np.asarray(pm, np.int64))
 
         def objective(theta):
             return likelihoods.compound_neg_log_likelihood(
-                theta, jnp.asarray(pp.astype(np.int32)), jnp.asarray(pm), pnt, ptab
+                theta, jnp.asarray(pp_pad), jnp.asarray(pm_pad), pnt, ptab
             )
 
         res = minimize_nmsimplex2_jax(
@@ -390,13 +407,14 @@ def _classify_lr_fixed(profiles, mult, fit: SampleFit, options: Options):
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if u else 0
     tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
-    prof = jnp.asarray(np.asarray(profiles, np.int32))
+    # bucket-padded device call (shape discipline: one compile per bucket)
+    prof = jnp.asarray(pad_axis0(np.asarray(profiles, np.int32)))
     log_l_hom = np.asarray(
         likelihoods.log_hom_marginal(prof, jnp.float64(fit.eps), nt, tab)
-    )
+    )[:u]
     log_l_het = np.asarray(
         likelihoods.log_het_marginal(prof, jnp.float64(fit.eps), nt, tab)
-    )
+    )[:u]
     log_l_hom = common.clamp_ld_underflow_np(log_l_hom)
     log_l_het = common.clamp_ld_underflow_np(log_l_het)
     if options.estimate_prior and fit.pi > 0:
@@ -404,13 +422,17 @@ def _classify_lr_fixed(profiles, mult, fit: SampleFit, options: Options):
             log_l_het = common.clamp_ld_underflow_np(log_l_het + np.log(fit.pi))
             log_l_hom = common.clamp_ld_underflow_np(log_l_hom + np.log(1.0 - fit.pi))
     if options.exact_pvalues:
-        p1 = jnp.asarray(stats.lrt_pvalue_from_logs_np(log_l_het, log_l_hom))
-        p2 = jnp.asarray(stats.lrt_pvalue_from_logs_np(log_l_hom, log_l_het))
+        # host LRT + host BH (default): like the main LR method, zero device
+        # round trips after the likelihood kernels
+        p1 = stats.lrt_pvalue_from_logs_np(log_l_het, log_l_hom)
+        p2 = stats.lrt_pvalue_from_logs_np(log_l_hom, log_l_het)
+        adj_p1 = stats.adjust_benjamini_hochberg_np(p1)
+        adj_p2 = stats.adjust_benjamini_hochberg_np(p2)
     else:
         p1 = stats.lrt_pvalue_from_logs(jnp.asarray(log_l_het), jnp.asarray(log_l_hom))
         p2 = stats.lrt_pvalue_from_logs(jnp.asarray(log_l_hom), jnp.asarray(log_l_het))
-    adj_p1 = np.asarray(stats.adjust_benjamini_hochberg(p1))
-    adj_p2 = np.asarray(stats.adjust_benjamini_hochberg(p2))
+        adj_p1 = np.asarray(stats.adjust_benjamini_hochberg(p1))
+        adj_p2 = np.asarray(stats.adjust_benjamini_hochberg(p2))
     is_het = adj_p2 < options.significance_level
     major, second = common.major_allele_indices_np(profiles)
     return is_het, major, second, adj_p1, adj_p2
@@ -425,13 +447,14 @@ def _classify_bayes_fixed(profiles, mult, fit: SampleFit):
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if u else 0
     tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
-    prof = jnp.asarray(np.asarray(profiles, np.int32))
+    # bucket-padded device call (shape discipline: one compile per bucket)
+    prof = jnp.asarray(pad_axis0(np.asarray(profiles, np.int32)))
     log_l_hom = np.asarray(
         likelihoods.log_hom_marginal(prof, jnp.float64(fit.eps), nt, tab)
-    )
+    )[:u]
     log_l_het = np.asarray(
         likelihoods.log_het_marginal(prof, jnp.float64(fit.eps), nt, tab)
-    )
+    )[:u]
     pi = fit.pi
     log_apost_hom = log_l_hom + np.log(np.float64(1.0 - pi))
     log_apost_het = (

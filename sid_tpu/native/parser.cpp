@@ -23,8 +23,10 @@
 #include <cstring>
 #include <functional>
 #include <limits>
+#include <memory>
 #include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 
 #if defined(__AVX2__) || defined(__AVX512BW__)
@@ -35,6 +37,33 @@
 #endif
 
 namespace {
+
+// Allocator whose zero-arg construct is default-init (a no-op for scalar
+// types): resize() on the per-read scratch vectors below adjusts the size
+// WITHOUT zeroing bytes the SIMD/raw-pointer stores are about to overwrite.
+// The value-initializing std::vector::resize was measurable store traffic on
+// the terms-only quality parse — it re-zeroed n+64 bytes per token even when
+// capacity already persisted (grow-then-shrink pattern).
+template <typename T>
+struct NoInitAlloc : std::allocator<T> {
+  template <typename U>
+  struct rebind {
+    using other = NoInitAlloc<U>;
+  };
+  NoInitAlloc() = default;
+  template <typename U>
+  NoInitAlloc(const NoInitAlloc<U>&) {}
+  template <typename U>
+  void construct(U* p) {
+    ::new (static_cast<void*>(p)) U;  // default-init, no zeroing
+  }
+  template <typename U, typename... Args>
+  void construct(U* p, Args&&... args) {
+    ::new (static_cast<void*>(p)) U(std::forward<Args>(args)...);
+  }
+};
+template <typename T>
+using raw_vec = std::vector<T, NoInitAlloc<T>>;
 
 struct ChromTable {
   // first-appearance-ordered chromosome names (few; linear scan is fine)
@@ -54,12 +83,12 @@ struct Shard {
   std::vector<int32_t> pos;
   std::vector<uint8_t> ref_base;
   std::vector<uint16_t> counts;  // 4 per site
-  // reads (CSR), only filled when want_reads
+  // reads (CSR), only filled when want_reads; raw_vec: resize never zeroes
   std::vector<int32_t> read_len;  // per site
-  std::vector<int8_t> read_code;
-  std::vector<uint8_t> read_strand;
-  std::vector<uint8_t> read_bq;
-  std::vector<uint8_t> read_mq;
+  raw_vec<int8_t> read_code;
+  raw_vec<uint8_t> read_strand;
+  raw_vec<uint8_t> read_bq;
+  raw_vec<uint8_t> read_mq;
   // quality-method per-site terms (flags bit 0): log-likelihood sums and
   // top-2 alleles, computed inline while the line's reads are cache-hot
   std::vector<double> term_hom;
@@ -757,8 +786,8 @@ struct Result {
   int64_t num_sites = 0;
 };
 
-template <typename T>
-void concat_into(std::vector<T>& dst, std::vector<std::vector<T>*> srcs) {
+template <typename T, typename SrcVec>
+void concat_into(std::vector<T>& dst, std::vector<SrcVec*> srcs) {
   size_t total = 0;
   for (auto* s : srcs) total += s->size();
   dst.reserve(total);
@@ -847,16 +876,16 @@ void* sidtpu_parse_ex(const char* data, int64_t len, int want_bq, int want_mq,
       for (int32_t l : s.read_len)
         res->read_offsets.push_back(res->read_offsets.back() + l);
     }
-    std::vector<std::vector<int8_t>*> vc;
+    std::vector<raw_vec<int8_t>*> vc;
     for (auto& s : shards) vc.push_back(&s.read_code);
     concat_into(res->read_code, vc);
-    std::vector<std::vector<uint8_t>*> vs;
+    std::vector<raw_vec<uint8_t>*> vs;
     for (auto& s : shards) vs.push_back(&s.read_strand);
     concat_into(res->read_strand, vs);
-    std::vector<std::vector<uint8_t>*> vb;
+    std::vector<raw_vec<uint8_t>*> vb;
     for (auto& s : shards) vb.push_back(&s.read_bq);
     concat_into(res->read_bq, vb);
-    std::vector<std::vector<uint8_t>*> vm;
+    std::vector<raw_vec<uint8_t>*> vm;
     for (auto& s : shards) vm.push_back(&s.read_mq);
     concat_into(res->read_mq, vm);
   }
@@ -1907,6 +1936,12 @@ namespace {
 // max(a, b) = b if b > a else a.
 double lrt_pvalue_linear_ld(long double a, long double b) {
   if (a != 0.0L) {
+    // (b > a) ? b : a is the in-repo oracle's Python max(), NOT the
+    // reference's fmaxl (stats.cpp:31): they differ on NaN inputs
+    // (fmaxl(NaN, b) == b; this returns a when the comparison is false).
+    // Unreachable divergence in practice — NaN error rates only occur at
+    // cov == 0, where powl(x, 0) == 1 keeps both likelihoods finite — but a
+    // refactor toward fmaxl would silently change the oracle spec.
     const long double mx = (b > a) ? b : a;
     const double chisq = static_cast<double>(-2.0L * (logl(a) - logl(mx)));
     return erfc(sqrt(chisq * 0.5));

