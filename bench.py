@@ -103,19 +103,47 @@ def measure_baseline(exe, flags, pileup_path):
     return time.time() - t0
 
 
-def _measure_config(label, text, path, n_sites, rounds=ROUNDS):
+def _measure_config(label, text, path, n_sites, rounds=ROUNDS,
+                    extra_opts=None, env=None, with_baseline=True):
     """Interleaved ours/baseline medians for one input config.
 
     Each of our runs records the per-stage wall (parse/call/serialize) and
     the device split (device-stage seconds + dispatch count), so the JSON
     carries device_fraction — the accelerator's actual share of the
     end-to-end wall (verdict-r2 #4: keep the host-vs-device story visible).
+
+    ``extra_opts``/``env`` parameterize forced-device configs
+    (mesh_devices=1, SIDTPU_DEVICE_PREC=ds); ``with_baseline=False`` skips
+    the C++ baseline re-runs (the caller reuses the default config's
+    baseline medians — the input is identical).
     """
     from sid_tpu.config import Options
     from sid_tpu import engine
     from sid_tpu.utils import profiling
 
-    opts = {m: Options(**kw) for m, _, kw in METHODS}
+    saved_env = {}
+    for k, v in (env or {}).items():
+        saved_env[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        return _measure_config_inner(
+            label, text, path, n_sites, rounds, extra_opts or {}, with_baseline
+        )
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _measure_config_inner(label, text, path, n_sites, rounds, extra_opts,
+                          with_baseline):
+    from sid_tpu.config import Options
+    from sid_tpu import engine
+    from sid_tpu.utils import profiling
+
+    opts = {m: Options(**{**kw, **extra_opts}) for m, _, kw in METHODS}
 
     log(f"  [{label}] warmup (compilation)...")
     for m, _, _ in METHODS:
@@ -123,8 +151,8 @@ def _measure_config(label, text, path, n_sites, rounds=ROUNDS):
         engine.run(text, opts[m], binary=True)
         log(f"  [{label}] warmup {m}: {time.time()-t0:.1f}s")
 
-    exe = baseline_exe()
-    if exe is None:
+    exe = baseline_exe() if with_baseline else None
+    if exe is None and with_baseline:
         log("  C++ baseline binary not built; provisional anchor "
             f"{PROVISIONAL_ANCHOR_SITES_PER_SEC:,.0f} sites/s")
 
@@ -185,6 +213,100 @@ def _measure_config(label, text, path, n_sites, rounds=ROUNDS):
     return methods_out
 
 
+def _device_microbench():
+    """Per-kernel device throughput at the 1M-row bucket + fit iteration rate.
+
+    Measures the mesh-sharded executables the device-forced e2e runs use
+    (sid_tpu.utils.warmup.microbench_kernels): the slim local classify and
+    the quality finalize, f64 vs double-single. FLOPs come from XLA's
+    cost analysis of the optimized module (HLO-level op counts — for
+    emulated f64 this counts pre-expansion f64 ops, so the f64 number
+    understates executed hardware work); mfu_vs_bf16_peak divides by the
+    chip's published dense bf16 peak (v5e: 197 TFLOP/s) as a conservative
+    utilization yardstick for the f32 VPU path.
+    """
+    import statistics as stats
+
+    import jax
+
+    from sid_tpu.models.lynch import run_device_fit
+    from sid_tpu.ops.profiles import nucleotide_distribution
+    from sid_tpu.utils.warmup import (
+        MICROBENCH_U,
+        microbench_inputs,
+        microbench_kernels,
+    )
+
+    bf16_peak = 197e12
+    out = {}
+    args = microbench_inputs()
+    for name, fn in microbench_kernels():
+        jax.block_until_ready(fn(args))  # compile/warm
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(args))
+            times.append(time.perf_counter() - t0)
+        t = stats.median(times)
+        entry = {
+            "rows": MICROBENCH_U,
+            "seconds": round(t, 5),
+            "rows_per_sec": round(MICROBENCH_U / t),
+        }
+        try:
+            cost = jax.jit(fn).lower(args).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+            entry["hlo_flops"] = flops
+            entry["hlo_flops_per_sec"] = round(flops / t)
+            entry["mfu_vs_bf16_peak"] = round(flops / t / bf16_peak, 6)
+        except Exception as exc:  # cost analysis is best-effort
+            entry["cost_analysis_error"] = str(exc)[:120]
+        out[name] = entry
+        log(f"  [micro] {name}: {entry}")
+
+    # fit iteration rate at the production 8192 bucket, f64 vs ds, through
+    # the same sharded path the device-forced e2e uses (fit_lynch_global)
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    u = 2000
+    profiles = rng.multinomial(30, [0.85, 0.08, 0.05, 0.02], (u,)).astype(np.int32)
+    mult = rng.integers(1, 1000, u).astype(np.int64)
+    from sid_tpu.parallel.fit import fit_lynch_global
+    from sid_tpu.parallel.mesh import make_site_mesh
+
+    mesh = make_site_mesh(1)
+    fit_precs = ("f64", "ds") if (
+        jax.default_backend() != "cpu" or os.environ.get("SIDTPU_BENCH_DS")
+    ) else ("f64",)
+    for prec in fit_precs:
+        saved = os.environ.get("SIDTPU_DEVICE_PREC")
+        os.environ["SIDTPU_DEVICE_PREC"] = prec
+        try:
+            fit_lynch_global(profiles, mult, mesh)  # compile/warm
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pi, eps, _, _, _ = fit_lynch_global(profiles, mult, mesh)
+                times.append(time.perf_counter() - t0)
+        finally:
+            if saved is None:
+                os.environ.pop("SIDTPU_DEVICE_PREC", None)
+            else:
+                os.environ["SIDTPU_DEVICE_PREC"] = saved
+        t = stats.median(times)
+        out[f"fit_lynch_{prec}"] = {
+            "unique_profiles": u,
+            "pad_bucket": 8192,
+            "seconds": round(t, 4),
+            "pi": pi,
+            "eps": eps,
+        }
+        log(f"  [micro] fit_lynch_{prec}: {out[f'fit_lynch_{prec}']}")
+    return out
+
+
 def main():
     import sid_tpu  # noqa: F401
 
@@ -203,6 +325,34 @@ def main():
 
     methods_out = _measure_config("clean", text, path, N_SITES)
     bwa_out = _measure_config("bwa_mix", bwa_text, bwa_path, BWA_SITES)
+
+    # forced-device configs (verdict-r3 #1): the same clean input with every
+    # stage on the accelerator (mesh_devices=1 engages the sharded kernels
+    # and the device psum fit — the multi-chip path, measured on one chip),
+    # at emulated-f64 and double-single f32 precision. vs_baseline reuses
+    # the clean config's baseline medians (identical input/flags).
+    import jax as _jax
+
+    dev_rounds = int(os.environ.get("SIDTPU_BENCH_DEV_ROUNDS", "2"))
+    # the ds legs exist for the accelerator; on the CPU fallback their
+    # LLVM compiles cost minutes for kernels no CPU run uses by default
+    precs = ("f64", "ds") if (
+        _jax.default_backend() != "cpu" or os.environ.get("SIDTPU_BENCH_DS")
+    ) else ("f64",)
+    device_forced = {}
+    for prec in precs:
+        out = _measure_config(
+            f"device_{prec}", text, path, N_SITES, rounds=dev_rounds,
+            extra_opts={"mesh_devices": 1},
+            env={"SIDTPU_DEVICE_PREC": prec}, with_baseline=False,
+        )
+        for m in out:
+            anchor = methods_out[m]["baseline_sites_per_sec"]
+            out[m]["baseline_sites_per_sec"] = anchor
+            out[m]["vs_baseline"] = round(out[m]["sites_per_sec"] / anchor, 3)
+        device_forced[prec] = out
+
+    micro = _device_microbench()
 
     import jax
 
@@ -226,6 +376,8 @@ def main():
                 "rounds": ROUNDS,
                 "methods": methods_out,
                 "methods_bwa_mix": bwa_out,
+                "device_forced": device_forced,
+                "device_microbench": micro,
             }
         )
     )

@@ -95,6 +95,16 @@ def local_log_likelihoods(
     return common.clamp_ld_underflow(l1), common.clamp_ld_underflow(l2)
 
 
+@jax.jit
+def _local_log_likelihoods_ds_jit(profiles, major, second, thr, log_tab, lgamma_tab):
+    """Jitted double-single slim kernel (likelihoods_ds spec)."""
+    from sid_tpu.ops.likelihoods_ds import local_fixed_log_likelihoods_ds
+
+    return local_fixed_log_likelihoods_ds(
+        profiles, major, second, thr, log_tab, lgamma_tab
+    )
+
+
 def classify_profiles_local(
     profiles: np.ndarray, options: Options, snp_prior: float, mesh_devices=None
 ):
@@ -143,16 +153,39 @@ def classify_profiles_local(
                 prof_dev = jax.device_put(padded, sh)
                 major = jax.device_put(major, sh1)
                 second = jax.device_put(second, sh1)
-        with profiling.device_stage("local_log_likelihoods"):
-            l1, l2 = local_log_likelihoods(
-                jnp.asarray(prof_dev),
-                jnp.asarray(major),
-                jnp.asarray(second),
-                jnp.float64(options.site_error_threshold),
-                tab,
+        from sid_tpu.ops.likelihoods_ds import device_precision
+
+        if device_precision() == "ds":
+            # double-single f32 kernel: transcendental-free (integer-log
+            # table gathers + DS adds), native f32 VPU work on TPU
+            from sid_tpu.ops.likelihoods_ds import (
+                lgamma_table_ds,
+                log_int_table_ds,
             )
-            l1 = np.asarray(l1)[:u]
-            l2 = np.asarray(l2)[:u]
+
+            tsize = table_size(max_cov)
+            with profiling.device_stage("local_log_likelihoods_ds"):
+                l1, l2 = _local_log_likelihoods_ds_jit(
+                    jnp.asarray(prof_dev),
+                    jnp.asarray(major),
+                    jnp.asarray(second),
+                    jnp.float64(options.site_error_threshold),
+                    log_int_table_ds(tsize),
+                    lgamma_table_ds(tsize),
+                )
+                l1 = np.asarray(l1)[:u]
+                l2 = np.asarray(l2)[:u]
+        else:
+            with profiling.device_stage("local_log_likelihoods"):
+                l1, l2 = local_log_likelihoods(
+                    jnp.asarray(prof_dev),
+                    jnp.asarray(major),
+                    jnp.asarray(second),
+                    jnp.float64(options.site_error_threshold),
+                    tab,
+                )
+                l1 = np.asarray(l1)[:u]
+                l2 = np.asarray(l2)[:u]
         major = np.asarray(major)[:u]
         second = np.asarray(second)[:u]
         if snp_prior > 0:

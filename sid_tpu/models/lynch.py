@@ -84,6 +84,64 @@ def fit_lynch(
     return res, log_l_hom, log_l_het
 
 
+@jax.jit
+def fit_lynch_ds(
+    profiles: jnp.ndarray,
+    mult: jnp.ndarray,
+    nt: jnp.ndarray,
+    lgamma_tab_ds,
+) -> Tuple[NmResult, jnp.ndarray, jnp.ndarray]:
+    """``fit_lynch`` with double-single f32 device kernels (SIDTPU_DEVICE_PREC=ds).
+
+    Same nmsimplex2 f64 loop (the simplex state is tiny scalar work); the
+    per-profile objective and post-fit marginals run in DS arithmetic
+    (ops/likelihoods_ds.py) — native f32 VPU work instead of XLA's generic
+    f64 emulation. The objective's profile-axis sum still lowers to a psum
+    under a sharded mesh. Confidences derived from this fit agree with the
+    f64 path to ~1e-13 relative (not bitwise; the trajectory may part at
+    branch ties exactly as the TPU-emulated-f64 fit does vs CPU).
+    """
+    from sid_tpu.ops import ds as _ds
+    from sid_tpu.ops import likelihoods_ds as _lds
+
+    def objective(theta):
+        return _lds.compound_neg_log_likelihood_ds(
+            theta, profiles, mult, nt, lgamma_tab_ds
+        )
+
+    res = minimize_nmsimplex2_jax(
+        objective, jnp.asarray(DEFAULT_START), jnp.asarray(DEFAULT_STEP)
+    )
+    eps = res.x[1]
+    log_l_hom = _ds.to_f64(_lds.log_hom_marginal_ds(profiles, eps, nt, lgamma_tab_ds))
+    log_l_het = _ds.to_f64(_lds.log_het_marginal_ds(profiles, eps, nt, lgamma_tab_ds))
+    return res, log_l_hom, log_l_het
+
+
+def run_device_fit(prof_dev, mult_dev, nt, max_cov):
+    """Dispatch the jitted device fit at the configured device precision.
+
+    ``SIDTPU_DEVICE_PREC=ds`` selects the double-single f32 kernels
+    (fit_lynch_ds); the default is the emulated-f64 fit. Inputs must already
+    be padded/sharded; blocks until the result is ready so the profiling
+    stage brackets real device time.
+    """
+    from sid_tpu.ops.likelihoods_ds import device_precision, lgamma_table_ds
+    from sid_tpu.utils import profiling
+
+    if device_precision() == "ds":
+        tab_ds = lgamma_table_ds(table_size(max_cov))
+        with profiling.device_stage("fit_lynch_ds"):
+            out = fit_lynch_ds(prof_dev, mult_dev, jnp.asarray(nt), tab_ds)
+            jax.block_until_ready(out)
+        return out
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+    with profiling.device_stage("fit_lynch"):
+        out = fit_lynch(prof_dev, mult_dev, jnp.asarray(nt), tab)
+        jax.block_until_ready(out)
+    return out
+
+
 def fit_on_filtered_profiles(
     profiles: np.ndarray,
     mult: np.ndarray,
@@ -98,15 +156,12 @@ def fit_on_filtered_profiles(
 
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if profiles.shape[0] else 0
-    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
     u = profiles.shape[0]
     prof_pad = pad_axis0(np.asarray(profiles, np.int32))
     mult_pad = pad_axis0(np.asarray(mult, np.int64))
-    with profiling.device_stage("fit_lynch"):
-        res, log_l_hom, log_l_het = fit_lynch(
-            jnp.asarray(prof_pad), jnp.asarray(mult_pad), jnp.asarray(nt), tab
-        )
-        jax.block_until_ready((res, log_l_hom, log_l_het))
+    res, log_l_hom, log_l_het = run_device_fit(
+        jnp.asarray(prof_pad), jnp.asarray(mult_pad), nt, max_cov
+    )
     iters = int(res.iterations)
     if diag is not None:
         if bool(res.converged):

@@ -229,6 +229,18 @@ def _quality_finalize_native(
     return het.astype(bool), p1, p2
 
 
+@jax.jit
+def _finalize_quality_ds_jit(
+    counts, major, second, log_hom, log_het, snp_prior, lgamma_tab_ds
+):
+    """Jitted double-single quality finalize (likelihoods_ds spec)."""
+    from sid_tpu.ops.likelihoods_ds import finalize_quality_logs_ds
+
+    return finalize_quality_logs_ds(
+        counts, major, second, log_hom, log_het, snp_prior, lgamma_tab_ds
+    )
+
+
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     from sid_tpu.utils import profiling
 
@@ -303,15 +315,32 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
             arrays = [
                 jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays
             ]
-    with profiling.device_stage("finalize_quality"):
-        dev = [jnp.asarray(a) for a in arrays]
-        is_het, p1, p2, log_pp1, log_pp2 = finalize_quality(
-            *dev,
-            jnp.float64(snp_prior),
-            jnp.float64(options.significance_level),
-            tab,
-        )
-        jax.block_until_ready((is_het, p1, p2, log_pp1, log_pp2))
+    from sid_tpu.ops.likelihoods_ds import device_precision
+
+    if device_precision() == "ds" and options.exact_pvalues:
+        # double-single f32 finalize (lgamma-table gathers + DS adds); the
+        # LRT always runs on host afterwards, so only the post-prior logs
+        # come back. Requires exact_pvalues (no DS erfc on device).
+        from sid_tpu.ops.likelihoods_ds import lgamma_table_ds
+
+        tab_ds = lgamma_table_ds(table_size(2 * max_cov))
+        with profiling.device_stage("finalize_quality_ds"):
+            dev = [jnp.asarray(a) for a in arrays]
+            log_pp1, log_pp2 = _finalize_quality_ds_jit(
+                *dev, jnp.float64(snp_prior), tab_ds
+            )
+            jax.block_until_ready((log_pp1, log_pp2))
+        is_het = p1 = p2 = None  # recomputed below from the logs
+    else:
+        with profiling.device_stage("finalize_quality"):
+            dev = [jnp.asarray(a) for a in arrays]
+            is_het, p1, p2, log_pp1, log_pp2 = finalize_quality(
+                *dev,
+                jnp.float64(snp_prior),
+                jnp.float64(options.significance_level),
+                tab,
+            )
+            jax.block_until_ready((is_het, p1, p2, log_pp1, log_pp2))
     if options.exact_pvalues:
         lpp1 = np.asarray(log_pp1)[:n]
         lpp2 = np.asarray(log_pp2)[:n]

@@ -20,8 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from sid_tpu.models.lynch import fit_lynch
-from sid_tpu.ops.lgamma import lgamma_int_table, table_size
+from sid_tpu.models.lynch import run_device_fit
 from sid_tpu.ops.profiles import nucleotide_distribution
 from sid_tpu.parallel.mesh import shard_profiles
 from sid_tpu.utils.padding import bucket_size
@@ -42,7 +41,6 @@ def fit_lynch_global(
     n_dev = int(np.prod(mesh.devices.shape))
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if u else 0
-    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
 
     # pad to a bucket divisible by the mesh size; zero-mult rows are inert
     b = bucket_size(max(u, 1))
@@ -53,7 +51,7 @@ def fit_lynch_global(
     mult_pad[:u] = mult
 
     prof_s, mult_s = shard_profiles(mesh, prof_pad, mult_pad)
-    res, log_l_hom, log_l_het = fit_lynch(prof_s, mult_s, jnp.asarray(nt), tab)
+    res, log_l_hom, log_l_het = run_device_fit(prof_s, mult_s, nt, max_cov)
 
     iters = int(res.iterations)
     if diag is not None:

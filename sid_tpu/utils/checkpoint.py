@@ -45,6 +45,14 @@ def input_fingerprint(src) -> str:
     return f"{size}:{h.hexdigest()}"
 
 
+def _npz_path(path: str) -> str:
+    """Normalize the checkpoint path: np.savez appends ``.npz`` when the
+    suffix is missing, so save and load must agree on the real filename —
+    without this, ``--checkpoint foo`` would write foo.npz, look for foo on
+    resume, and silently re-run pass 1 every time."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_fit_state(
     path: str,
     profiles: np.ndarray,
@@ -55,7 +63,7 @@ def save_fit_state(
     fingerprint: str = "",
 ) -> None:
     np.savez_compressed(
-        path,
+        _npz_path(path),
         version=FIT_STATE_VERSION,
         profiles=np.asarray(profiles, np.int32),
         mult=np.asarray(mult, np.int64),
@@ -72,6 +80,7 @@ def load_fit_state(path: str, fingerprint: str = ""):
     A non-empty ``fingerprint`` must match the persisted one — a mismatch
     (different or modified input) invalidates the checkpoint.
     """
+    path = _npz_path(path)
     if not os.path.exists(path):
         return None
     with np.load(path) as z:

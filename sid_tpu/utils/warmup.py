@@ -70,37 +70,79 @@ def warm_cache(
     # loop + prior-weighted classify; bayes compiles the fit-with-posterior
     # path; local/quality compile the per-site kernels and erfc chain.
     plan = [
-        # (method, estimate_prior, extra Options overrides)
-        ("local", False, {}),
-        ("quality", False, {}),
-        ("bayes", False, {}),
-        ("likelihood_ratio", True, {}),
-        ("local", True, {}),  # -R local: fit-for-prior + capped-error classify
+        # (method, estimate_prior, extra Options overrides, env overrides)
+        ("local", False, {}, {}),
+        ("quality", False, {}, {}),
+        ("bayes", False, {}, {}),
+        ("likelihood_ratio", True, {}, {}),
+        ("local", True, {}, {}),  # -R local: fit-for-prior + capped-error classify
         # explicit device paths (defaults run these stages on host since r3):
         # the jitted Lynch fit while-loop, the full device local classify,
         # and the device quality finalize
-        ("bayes", False, {"fit_backend": "device"}),
-        ("likelihood_ratio", True, {"fit_backend": "device"}),
-        ("local", False, {"exact_pvalues": False}),
-        ("quality", False, {"exact_pvalues": False}),
+        ("bayes", False, {"fit_backend": "device"}, {}),
+        ("likelihood_ratio", True, {"fit_backend": "device"}, {}),
+        ("local", False, {"exact_pvalues": False}, {}),
+        ("quality", False, {"exact_pvalues": False}, {}),
+        # forced-device configs (bench.py device_forced: mesh_devices=1
+        # engages the sharded kernels + device fit on the single chip)
+        ("local", False, {"mesh_devices": 1}, {}),
+        ("quality", False, {"mesh_devices": 1}, {}),
+        ("bayes", False, {"mesh_devices": 1}, {}),
+        ("likelihood_ratio", True, {"mesh_devices": 1}, {}),
     ]
-    for method, est, extra in plan:
+    import os
+
+    # the double-single kernels and the 1M-row microbench shapes are
+    # TPU-path warms; on the CPU backend they cost minutes of LLVM codegen
+    # for executables nothing in a CPU run uses by default (opt back in
+    # with SIDTPU_WARM_DS=1)
+    import jax
+
+    warm_ds = bool(os.environ.get("SIDTPU_WARM_DS")) or (
+        (options.platform or jax.default_backend()) != "cpu"
+    )
+    if warm_ds:
+        plan += [
+            # double-single f32 device kernels (SIDTPU_DEVICE_PREC=ds): slim
+            # local classify, quality finalize, and the DS fit while-loop
+            ("local", False, {"mesh_devices": 1}, {"SIDTPU_DEVICE_PREC": "ds"}),
+            ("quality", False, {"mesh_devices": 1}, {"SIDTPU_DEVICE_PREC": "ds"}),
+            ("bayes", False, {"mesh_devices": 1}, {"SIDTPU_DEVICE_PREC": "ds"}),
+            ("likelihood_ratio", True, {"mesh_devices": 1},
+             {"SIDTPU_DEVICE_PREC": "ds"}),
+        ]
+
+    for method, est, extra, env in plan:
         opts = dataclasses.replace(
             options, method=method, estimate_prior=est, diagnostics=False,
             stream=False, population="", multihost=False, **extra,
         )
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         t0 = time.time()
-        engine.run(text, opts, binary=True)
+        try:
+            engine.run(text, opts, binary=True)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         flag = " -R" if est else ""
         suffix = "".join(f" {k}={v}" for k, v in extra.items())
+        suffix += "".join(f" {k}={v}" for k, v in env.items())
         log(f"# warm {method}{flag}{suffix}: {time.time() - t0:.1f}s")
+
+    # microbench / device-forced throughput shapes: the slim local kernel and
+    # the quality finalize at the 1M-site bucket (2^20 rows), f64 and DS —
+    # compiled directly so bench.py's kernel microbench is compile-free
+    if warm_ds:
+        _warm_microbench_shapes(log)
 
     # slim device local kernel (local_log_likelihoods): default single-device
     # local runs host long-double since r3, so force the device branch by
     # zeroing the exact-local cap — this bucket still serves meshes and
     # U > SIDTPU_EXACT_LOCAL_MAX_U inputs
-    import os
-
     prev = os.environ.get("SIDTPU_EXACT_LOCAL_MAX_U")
     os.environ["SIDTPU_EXACT_LOCAL_MAX_U"] = "0"
     try:
@@ -117,3 +159,100 @@ def warm_cache(
         else:
             os.environ["SIDTPU_EXACT_LOCAL_MAX_U"] = prev
     return len(plan) + 1
+
+
+MICROBENCH_U = 1 << 20  # the 1M-site shape bucket bench.py microbenches at
+
+
+def microbench_inputs(n: int = MICROBENCH_U):
+    """Deterministic 1M-row kernel inputs, device-put on a 1-device mesh.
+
+    These are exactly the executables the device-forced e2e bench runs
+    (mesh_devices=1, site axis sharded), so compiling them here makes
+    bench.py's kernel microbench and 1M quality leg compile-free.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sid_tpu.models.common import major_allele_indices_np
+    from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+    rng = np.random.default_rng(0)
+    profiles = rng.multinomial(30, [0.85, 0.08, 0.05, 0.02], (n,)).astype(np.int32)
+    major, second = major_allele_indices_np(profiles.astype(np.int64))
+    log_hom = rng.uniform(-40.0, -1.0, n)
+    log_het = rng.uniform(-40.0, -1.0, n)
+    mesh = make_site_mesh(1)
+    sh2 = row_sharding(mesh, 2)
+    sh1 = row_sharding(mesh, 1)
+    return dict(
+        profiles=jax.device_put(profiles, sh2),
+        major=jax.device_put(major, sh1),
+        second=jax.device_put(second, sh1),
+        log_hom=jax.device_put(log_hom, sh1),
+        log_het=jax.device_put(log_het, sh1),
+    )
+
+
+def microbench_kernels():
+    """(name, callable) kernel list shared by warmup and bench.py.
+
+    Each callable takes the microbench_inputs dict and returns device
+    output to block on. Covers the slim local classify and the quality
+    finalize, f64 and double-single, as mesh-sharded executables.
+    """
+    import jax.numpy as jnp
+
+    from sid_tpu.models.local import (
+        _local_log_likelihoods_ds_jit,
+        local_log_likelihoods,
+    )
+    from sid_tpu.models.quality import _finalize_quality_ds_jit, finalize_quality
+    from sid_tpu.ops.lgamma import lgamma_int_table
+    from sid_tpu.ops.likelihoods_ds import lgamma_table_ds, log_int_table_ds
+
+    def tab():
+        return jnp.asarray(lgamma_int_table(1023))
+
+    thr = 0.1
+    return [
+        (
+            "local_log_likelihoods_f64",
+            lambda a: local_log_likelihoods(
+                a["profiles"], a["major"], a["second"], jnp.float64(thr), tab()
+            ),
+        ),
+        (
+            "local_log_likelihoods_ds",
+            lambda a: _local_log_likelihoods_ds_jit(
+                a["profiles"], a["major"], a["second"], jnp.float64(thr),
+                log_int_table_ds(1024), lgamma_table_ds(1024),
+            ),
+        ),
+        (
+            "finalize_quality_f64",
+            lambda a: finalize_quality(
+                a["profiles"], a["major"], a["second"], a["log_hom"],
+                a["log_het"], jnp.float64(-1.0), jnp.float64(0.05), tab(),
+            ),
+        ),
+        (
+            "finalize_quality_ds",
+            lambda a: _finalize_quality_ds_jit(
+                a["profiles"], a["major"], a["second"], a["log_hom"],
+                a["log_het"], jnp.float64(-1.0), lgamma_table_ds(1024),
+            ),
+        ),
+    ]
+
+
+def _warm_microbench_shapes(log) -> None:
+    """Compile the kernel-microbench shapes (bench.py device_microbench)."""
+    import jax
+
+    args = microbench_inputs()
+    for name, fn in microbench_kernels():
+        t0 = time.time()
+        jax.block_until_ready(fn(args))
+        log(f"# warm {name}@{MICROBENCH_U}: {time.time() - t0:.1f}s")

@@ -119,3 +119,16 @@ def test_streaming_pass2_resume(tmp_path):
                              chunk_bytes=1 << 13, progress=progress2, resume=True)
     assert open(out_path).read() == full
     assert not os.path.exists(progress2.sidecar)  # cleared on completion
+
+
+def test_fit_state_suffixless_path_roundtrips(tmp_path):
+    """--checkpoint without .npz: np.savez appends the suffix, so load must
+    normalize identically or resume silently re-runs pass 1 every time."""
+    p = str(tmp_path / "ckpt")  # no .npz
+    profiles = np.array([[5, 1, 0, 0], [3, 3, 0, 0]], np.int32)
+    mult = np.array([10, 2], np.int64)
+    save_fit_state(p, profiles, mult, fingerprint="fp1")
+    state = load_fit_state(p, fingerprint="fp1")
+    assert state is not None
+    np.testing.assert_array_equal(state["profiles"], profiles)
+    assert load_fit_state(p, fingerprint="other") is None
