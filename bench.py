@@ -307,9 +307,40 @@ def _device_microbench():
     return out
 
 
+def _start_device_keepalive():
+    """Tiny dispatch every 45 s for the life of the bench.
+
+    The axon tunnel's device connection can die silently after long idle
+    stretches: at default flags the clean/bwa configs do zero device work
+    (~25 min host-only), after which the first device_put of the
+    device-forced section hung indefinitely (observed r4). A 1 ms heartbeat
+    keeps the connection exercised; the noise it adds is far below the
+    +-30% host variance.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        return
+
+    def loop():
+        x = jnp.zeros(128)
+        while True:
+            try:
+                (x + 1.0).block_until_ready()
+            except Exception:
+                pass
+            time.sleep(45)
+
+    threading.Thread(target=loop, daemon=True).start()
+
+
 def main():
     import sid_tpu  # noqa: F401
 
+    _start_device_keepalive()
     log(f"generating {N_SITES} simulated sites...")
     t0 = time.time()
     text = generate(N_SITES)
