@@ -21,6 +21,9 @@ def call_batch(
     diag: Optional[Callable[[str], None]] = None,
 ) -> Optional[CallResult]:
     """Dispatch one parsed batch to the selected method implementation."""
+    from sid_tpu.utils.keepalive import ensure_device_keepalive
+
+    ensure_device_keepalive()
     method = options.method
     if options.engine == "exact":
         from sid_tpu.exact import engine as exact_engine

@@ -288,12 +288,17 @@ def call_population(
 ) -> List[CallResult]:
     """Per-sample genotype calls with population-level model fitting.
 
+    (Starts the device keepalive: population runs interleave long host
+    stages with device fits — see utils/keepalive.)
+
     All four methods: local uses the sample's fitted pi as prior (-R
     semantics), bayes/likelihood_ratio classify at the sample's (pi, eps),
     quality (per-site) uses the fitted pi as its SNP prior.
     """
     from sid_tpu.models import common
+    from sid_tpu.utils.keepalive import ensure_device_keepalive
 
+    ensure_device_keepalive()
     histograms = []
     uniques = []
     for b in batches:

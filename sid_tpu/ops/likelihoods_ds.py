@@ -113,6 +113,19 @@ def _capped_logs(thr: jnp.ndarray) -> Tuple[ds.DS, ds.DS, ds.DS]:
     return log1p_m, log_t3, log_match2
 
 
+def _int_ratio_log(num: jnp.ndarray, den: jnp.ndarray) -> ds.DS:
+    """DS log(num/den) for exact-in-f32 integer operands, gather-free.
+
+    One DS division of the exact integers + one DS log (~2 kFLOP of f32 VPU
+    work per element). The gather formulation (log_tab[num] - log_tab[den])
+    is fewer FLOPs but XLA's TPU gather lowering costs ~12 ns/row/gather
+    (measured r4) — on a VPU that is orders of magnitude more expensive
+    than the arithmetic it saves, so the direct form wins on TPU.
+    """
+    ratio = ds.div(ds.from_f32(num.astype(_F32)), ds.from_f32(den.astype(_F32)))
+    return ds.log(ratio)
+
+
 def local_fixed_log_likelihoods_ds(
     profiles: jnp.ndarray,
     major: jnp.ndarray,
@@ -120,12 +133,15 @@ def local_fixed_log_likelihoods_ds(
     error_threshold: jnp.ndarray,
     log_tab: ds.DS,
     lgamma_tab: ds.DS,
+    use_tables: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The ``local`` method's per-profile (log_l1, log_l2) in DS, as f64.
 
     Matches models/local.local_log_likelihoods semantics (call.cpp:238-254)
     including the f64 cap comparisons and the long-double underflow clamp;
-    returns emulated-f64 arrays ready for the host LRT.
+    returns emulated-f64 arrays ready for the host LRT. ``use_tables``
+    selects the integer-log-table formulation (fewer FLOPs, 6 more gathers
+    per profile — slower on TPU where gathers dominate, see _int_ratio_log).
     """
     profiles = profiles.astype(jnp.int32)
     cov = profiles.sum(-1)
@@ -133,19 +149,36 @@ def local_fixed_log_likelihoods_ds(
     n2 = jnp.take_along_axis(profiles, second[..., None], -1)[..., 0]
     covf = cov.astype(jnp.float64)
 
-    log_cov = _gather(log_tab, cov)
     log1p_cap, log_t3_cap, log_match2_cap = _capped_logs(error_threshold)
+    if use_tables:
+        log_cov = _gather(log_tab, cov)
+
+        def ratio_log3(num):  # log(num/(3 cov))
+            return _log_ratio(log_tab, num, log_cov, _const(_LOG3))
+
+        def ratio_log2(num):  # log(num/(2 cov))
+            return _log_ratio(log_tab, num, log_cov, _const(_LOG2))
+
+        def ratio_log1(num):  # log(num/cov)
+            return ds.sub(_gather(log_tab, num), log_cov)
+
+    else:
+
+        def ratio_log3(num):
+            return _int_ratio_log(num, 3 * cov)
+
+        def ratio_log2(num):
+            return _int_ratio_log(num, 2 * cov)
+
+        def ratio_log1(num):
+            return _int_ratio_log(num, cov)
 
     # hom: e1 = (cov-n1)/cov, capped at threshold (f64 compare; NaN at cov=0
     # stays uncapped, and its n==0 operands zero both xlogy terms anyway)
     e1 = (covf - n1.astype(jnp.float64)) / covf
     cap1 = e1 > error_threshold
-    log1p_e1 = ds.where(
-        cap1, log1p_cap, ds.sub(_gather(log_tab, n1), log_cov)
-    )
-    log_e1_3 = ds.where(
-        cap1, log_t3_cap, _log_ratio(log_tab, cov - n1, log_cov, _const(_LOG3))
-    )
+    log1p_e1 = ds.where(cap1, log1p_cap, ratio_log1(n1))
+    log_e1_3 = ds.where(cap1, log_t3_cap, ratio_log3(cov - n1))
     l1 = ds.add_terms(
         [
             log_multinomial_ds(profiles, lgamma_tab),
@@ -158,12 +191,8 @@ def local_fixed_log_likelihoods_ds(
     n12 = n1 + n2
     e2 = 1.5 * (covf - n12.astype(jnp.float64)) / covf
     cap2 = e2 > error_threshold
-    log_match = ds.where(
-        cap2, log_match2_cap, _log_ratio(log_tab, n12, log_cov, _const(_LOG2))
-    )
-    log_err = ds.where(
-        cap2, log_t3_cap, _log_ratio(log_tab, cov - n12, log_cov, _const(_LOG2))
-    )
+    log_match = ds.where(cap2, log_match2_cap, ratio_log2(n12))
+    log_err = ds.where(cap2, log_t3_cap, ratio_log2(cov - n12))
     l2 = ds.add_terms(
         [
             log_multinomial_ds(profiles, lgamma_tab),

@@ -158,6 +158,9 @@ def run_multihost(
         iter_range_chunks,
         pack_profiles,
     )
+    from sid_tpu.utils.keepalive import ensure_device_keepalive
+
+    ensure_device_keepalive()  # long parse passes between device fits
     from sid_tpu.models import common
     from sid_tpu.ops.profiles import filter_min_coverage
 

@@ -63,7 +63,9 @@ def warm_cache(
     --warm-cache`` warms the CPU cache instead.
     """
     from sid_tpu import engine
+    from sid_tpu.utils.keepalive import ensure_device_keepalive
 
+    ensure_device_keepalive()
     log = log or (lambda s: None)
     text = _synthetic_pileup()
     # (method, estimate_prior): -R on likelihood_ratio compiles the fit
