@@ -319,3 +319,20 @@ class TestEngineParity:
         want = _run_engine(text, {}, method="local")
         got = _run_engine(text, self.FORCE_DEVICE, method="local", mesh_devices=8)
         assert got == want
+
+
+class TestKeepalive:
+    def test_idempotent_noop_on_cpu(self):
+        # on the CPU backend the keepalive must not spawn a thread, and
+        # repeated calls must be cheap no-ops (engine entry points call it
+        # on every batch)
+        import threading
+
+        from sid_tpu.utils import keepalive
+
+        before = {t.name for t in threading.enumerate()}
+        keepalive.ensure_device_keepalive()
+        keepalive.ensure_device_keepalive()
+        after = {t.name for t in threading.enumerate()}
+        assert "sidtpu-device-keepalive" not in after - before
+        assert keepalive._started
