@@ -26,9 +26,13 @@ import subprocess
 import sys
 import time
 
-N_SITES = int(os.environ.get("SIDTPU_BENCH_SITES", "1000000"))
+# SMOKE mode (tests/test_bench_stdout.py): tiny input, 1 round, no grammar-rich
+# config, no device-forced legs, no microbench — just enough to exercise the
+# end-to-end measurement loop and the stdout contract in seconds on CPU.
+SMOKE = bool(os.environ.get("SIDTPU_BENCH_SMOKE"))
+N_SITES = int(os.environ.get("SIDTPU_BENCH_SITES", "5000" if SMOKE else "1000000"))
 BWA_SITES = int(os.environ.get("SIDTPU_BENCH_BWA_SITES", "1000000"))
-ROUNDS = int(os.environ.get("SIDTPU_BENCH_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SIDTPU_BENCH_ROUNDS", "1" if SMOKE else "3"))
 PROVISIONAL_ANCHOR_SITES_PER_SEC = 1.0e6  # see BASELINE.md "anchor" note
 
 # (method, baseline argv flags, Options kwargs)
@@ -355,10 +359,11 @@ def main():
     with open(path, "wb") as f:
         f.write(text)
 
-    log(f"generating {BWA_SITES} grammar-rich (BWA-artifact) sites...")
-    t0 = time.time()
-    bwa_text, bwa_path = generate_bwa(BWA_SITES)
-    log(f"  generate/load: {time.time()-t0:.1f}s ({len(bwa_text)/1e6:.0f} MB)")
+    if not SMOKE:
+        log(f"generating {BWA_SITES} grammar-rich (BWA-artifact) sites...")
+        t0 = time.time()
+        bwa_text, bwa_path = generate_bwa(BWA_SITES)
+        log(f"  generate/load: {time.time()-t0:.1f}s ({len(bwa_text)/1e6:.0f} MB)")
 
     # forced-device configs FIRST (verdict-r3 #1): the same clean input with
     # every stage on the accelerator (mesh_devices=1 engages the sharded
@@ -376,17 +381,18 @@ def main():
         _jax.default_backend() != "cpu" or os.environ.get("SIDTPU_BENCH_DS")
     ) else ("f64",)
     device_forced = {}
-    for prec in precs:
-        device_forced[prec] = _measure_config(
-            f"device_{prec}", text, path, N_SITES, rounds=dev_rounds,
-            extra_opts={"mesh_devices": 1},
-            env={"SIDTPU_DEVICE_PREC": prec}, with_baseline=False,
-        )
+    if not SMOKE:
+        for prec in precs:
+            device_forced[prec] = _measure_config(
+                f"device_{prec}", text, path, N_SITES, rounds=dev_rounds,
+                extra_opts={"mesh_devices": 1},
+                env={"SIDTPU_DEVICE_PREC": prec}, with_baseline=False,
+            )
 
-    micro = _device_microbench()
+    micro = {} if SMOKE else _device_microbench()
 
     methods_out = _measure_config("clean", text, path, N_SITES)
-    bwa_out = _measure_config("bwa_mix", bwa_text, bwa_path, BWA_SITES)
+    bwa_out = {} if SMOKE else _measure_config("bwa_mix", bwa_text, bwa_path, BWA_SITES)
 
     # vs_baseline for the forced-device legs reuses the clean config's
     # baseline medians (identical input and flags)
@@ -409,22 +415,73 @@ def main():
                         "platform": platform}))
 
     head = methods_out["local"]
-    print(
-        json.dumps(
-            {
-                "metric": "local_method_end_to_end_sites_per_sec_1chip",
-                "value": head["sites_per_sec"],
-                "unit": "sites/s",
-                "vs_baseline": head["vs_baseline"],
-                "platform": platform,
-                "rounds": ROUNDS,
-                "methods": methods_out,
-                "methods_bwa_mix": bwa_out,
-                "device_forced": device_forced,
-                "device_microbench": micro,
-            }
-        )
+    detail = {
+        "metric": "local_method_end_to_end_sites_per_sec_1chip",
+        "value": head["sites_per_sec"],
+        "unit": "sites/s",
+        "vs_baseline": head["vs_baseline"],
+        "platform": platform,
+        "rounds": ROUNDS,
+        "methods": methods_out,
+        "methods_bwa_mix": bwa_out,
+        "device_forced": device_forced,
+        "device_microbench": micro,
+    }
+    detail_path = os.environ.get(
+        "SIDTPU_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_detail.json"),
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        log(f"full detail written to {detail_path}")
+    except OSError as exc:
+        log(f"could not write detail file: {exc}")
+    log(json.dumps(detail))  # full record on stderr too
+
+    # stdout contract: EXACTLY ONE compact JSON line (< ~1 KB). The driver
+    # records only a 2000-char tail of the output and json-parses its last
+    # line; rounds 3-4 fattened this line past 2000 chars (methods_bwa_mix,
+    # device_forced, microbench) so the tail truncated it mid-object and the
+    # authoritative record was lost ("parsed": null). Detail lives in the
+    # file/stderr; this line stays small enough to never truncate
+    # (tests/test_bench_stdout.py pins both properties).
+    compact = {
+        "metric": "local_method_end_to_end_sites_per_sec_1chip",
+        "value": head["sites_per_sec"],
+        "unit": "sites/s",
+        "vs_baseline": head["vs_baseline"],
+        "platform": platform,
+        "rounds": ROUNDS,
+        "methods_sites_per_sec": {
+            m: methods_out[m]["sites_per_sec"] for m, _, _ in METHODS
+        },
+        "methods_vs_baseline": {
+            m: methods_out[m]["vs_baseline"] for m, _, _ in METHODS
+        },
+    }
+    if device_forced:
+        compact["device_forced_sites_per_sec"] = {
+            prec: {m: v[m]["sites_per_sec"] for m in v}
+            for prec, v in device_forced.items()
+        }
+    mfu = {
+        name: row["mfu_vs_bf16_peak"]
+        for name, row in micro.items()
+        if "mfu_vs_bf16_peak" in row
+    }
+    if mfu:
+        compact["kernel_mfu_vs_bf16_peak"] = mfu
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # hard guard: never regress the tail-parse contract
+        line = json.dumps(
+            {k: compact[k] for k in
+             ("metric", "value", "unit", "vs_baseline", "platform", "rounds")},
+            separators=(",", ":"),
+        )
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 def _watchdog_main():
