@@ -263,21 +263,264 @@ def classify_sample_profiles(
     Returns (cls 5-tuple over classes, filtered: bool, conf_type). For the
     profile-deduplicated methods only; ``filtered`` says whether the class
     table covers the cov>=4-filtered profiles (bayes/likelihood_ratio omit
-    filtered-out sites) or all profiles (local).
+    filtered-out sites) or all profiles (local). Cohort callers
+    (call_population*) use classify_population_profiles instead — it batches
+    the device work for ALL samples into O(1) dispatches.
     """
-    from sid_tpu.models.local import classify_profiles_local
+    cls_list, filtered, conf_type = classify_population_profiles(
+        [(profiles, mult)], [fit], options
+    )
+    return cls_list[0], filtered, conf_type
 
+
+@jax.jit
+def _classify_local_full_batched(profs, thr, alpha, priors, tab):
+    """vmapped full local classify (device LRT) with per-sample priors."""
+    from sid_tpu.models.local import classify_local
+
+    def one(p, prior):
+        return classify_local(p, thr, alpha, prior, tab)
+
+    return jax.vmap(one)(profs, priors)
+
+
+@jax.jit
+def _marginals_batched(profs, epss, nts, tab):
+    """vmapped marginal likelihoods: (S,U,4),(S,),(S,4) -> 2x (S,U) f64.
+
+    One device dispatch covers every sample's class table — the per-sample
+    kernels are elementwise over profiles, so vmap over the sample axis is
+    bitwise-identical per lane to S separate calls (verified on CPU) while
+    collapsing ~2S tunnel round trips into one (VERDICT r4 next #1; the
+    structural analogue of _fit_batched for the classify half).
+    Reference semantics per sample: call.cpp:62-211.
+    """
+
+    def one(p, e, nt):
+        return (
+            likelihoods.log_hom_marginal(p, e, nt, tab),
+            likelihoods.log_het_marginal(p, e, nt, tab),
+        )
+
+    return jax.vmap(one)(profs, epss, nts)
+
+
+def classify_population_profiles(
+    per_sample: Sequence[Tuple[np.ndarray, np.ndarray]],
+    fits: Sequence[SampleFit],
+    options: Options,
+):
+    """Per-class tables for a whole cohort in O(1) device dispatches.
+
+    ``per_sample`` is the UNFILTERED (profiles, mult) per sample;
+    bayes/likelihood_ratio apply the cov>=4 filter internally (reference
+    semantics). Returns (list of per-sample cls 5-tuples, filtered,
+    conf_type). The device work — marginal likelihoods for bayes/LR, the
+    slim fixed-allele kernel for local — runs as ONE bucket-padded
+    (S, U_pad, ...) dispatch; per-sample priors, LRT and BH stay host-side
+    per sample (BH's domain is each sample's own unique profiles,
+    call.cpp:120-138).
+    """
     method = options.method
     if method == "local":
-        # local with the fitted per-sample prior (-R semantics)
-        cls = classify_profiles_local(profiles, options, fit.pi, options.mesh_devices)
-        return cls, False, "p_value"
-    fp, fm, _ = filter_min_coverage(profiles, mult, 4)
+        return _classify_local_population(per_sample, fits, options), False, "p_value"
+    if method not in ("bayes", "likelihood_ratio"):
+        raise ValueError(f"population mode does not support method {method!r}")
+
+    filtered = [filter_min_coverage(p, m, 4)[:2] for p, m in per_sample]
+    lhom, lhet = _population_marginals(filtered, fits, options)
+    out = []
+    for (fp, fm), fit, lh, lt in zip(filtered, fits, lhom, lhet):
+        u = fp.shape[0]
+        if method == "bayes":
+            out.append(_bayes_post(fp, lh[:u], lt[:u], fit))
+        else:
+            out.append(_lr_post(fp, lh[:u], lt[:u], fit, options))
     if method == "bayes":
-        return _classify_bayes_fixed(fp, fm, fit), True, "probability"
-    if method == "likelihood_ratio":
-        return _classify_lr_fixed(fp, fm, fit, options), True, "p_value"
-    raise ValueError(f"population mode does not support method {method!r}")
+        return out, True, "probability"
+    return out, True, "p_value"
+
+
+def _population_marginals(
+    filtered: Sequence[Tuple[np.ndarray, np.ndarray]],
+    fits: Sequence[SampleFit],
+    options: Options,
+):
+    """One batched device call for the cohort's (hom, het) marginal tables."""
+    from sid_tpu.utils import profiling
+
+    profs, mults = _pad_stack(filtered)
+    nts = np.stack([nucleotide_distribution(p, m) for p, m in filtered])
+    epss = np.array([f.eps for f in fits], np.float64)
+    max_cov = max(
+        (int(p.sum(-1).max()) for p, _ in filtered if p.shape[0]), default=0
+    )
+    tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+
+    if options.mesh_devices is not None:
+        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+        mesh = make_site_mesh(options.mesh_devices)
+        n_dev = int(np.prod(mesh.devices.shape))
+        s_real = profs.shape[0]
+        s_pad = -(-s_real // n_dev) * n_dev
+        if s_pad != s_real:
+            profs = np.concatenate(
+                [profs, np.zeros((s_pad - s_real,) + profs.shape[1:], profs.dtype)]
+            )
+            # benign values for the inert lanes (results are sliced away)
+            nts = np.concatenate(
+                [nts, np.full((s_pad - s_real, 4), 0.25, nts.dtype)]
+            )
+            epss = np.concatenate(
+                [epss, np.full(s_pad - s_real, 0.01, epss.dtype)]
+            )
+        profs = jax.device_put(profs, row_sharding(mesh, 3))
+        epss = jax.device_put(epss, row_sharding(mesh, 1))
+        nts = jax.device_put(nts, row_sharding(mesh, 2))
+    with profiling.device_stage("population_marginals"):
+        lhom, lhet = _marginals_batched(
+            jnp.asarray(profs), jnp.asarray(epss), jnp.asarray(nts), tab
+        )
+        lhom = np.asarray(lhom)
+        lhet = np.asarray(lhet)
+    return lhom, lhet
+
+
+def _classify_local_population(per_sample, fits, options):
+    """Cohort ``local`` tables: host-LD per sample when that path is free of
+    device work anyway, else ONE batched slim-kernel dispatch."""
+    import os
+
+    from sid_tpu.models.local import classify_profiles_local
+
+    max_u = int(os.environ.get("SIDTPU_EXACT_LOCAL_MAX_U", "1000000"))
+    host_ld = (
+        options.mesh_devices is None
+        and options.exact_pvalues
+        and all(0 < p.shape[0] <= max_u for p, _ in per_sample)
+    )
+    if host_ld:
+        # the native long-double classifier dispatches nothing: the
+        # per-sample loop is already O(0) device round trips (and byte-equal
+        # to the oracle by construction) — keep it (models/local.py)
+        return [
+            classify_profiles_local(p, options, fit.pi, None)
+            for (p, _), fit in zip(per_sample, fits)
+        ]
+    return _classify_local_batched(per_sample, fits, options)
+
+
+def _classify_local_batched(per_sample, fits, options):
+    """Batched slim local kernel over (S, U_pad): one dispatch, host LRT.
+
+    Mirrors models/local.classify_profiles_local's slim branch (the kernels
+    are elementwise with leading batch axes); the per-sample fitted prior is
+    applied host-side after the kernel, exactly as the slim path does.
+    """
+    from sid_tpu.models import common
+    from sid_tpu.models.local import (
+        _local_log_likelihoods_ds_jit,
+        local_log_likelihoods,
+    )
+    from sid_tpu.ops import stats
+    from sid_tpu.ops.likelihoods_ds import device_precision
+    from sid_tpu.utils import profiling
+
+    profs, _ = _pad_stack(per_sample)
+    s, u_pad = profs.shape[0], profs.shape[1]
+    flat = profs.reshape(-1, 4).astype(np.int64)
+    major, second = common.major_allele_indices_np(flat)
+    major = major.reshape(s, u_pad)
+    second = second.reshape(s, u_pad)
+    max_cov = max(
+        (int(p.sum(-1).max()) for p, _ in per_sample if p.shape[0]), default=0
+    )
+    arrays = [profs, major, second]
+    if options.mesh_devices is not None:
+        from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
+
+        mesh = make_site_mesh(options.mesh_devices)
+        n_dev = int(np.prod(mesh.devices.shape))
+        if s % n_dev != 0:
+            s_pad = -(-s // n_dev) * n_dev
+            arrays = [
+                np.concatenate(
+                    [a, np.zeros((s_pad - s,) + a.shape[1:], a.dtype)]
+                )
+                for a in arrays
+            ]
+        arrays = [
+            jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays
+        ]
+    profs_d, major_d, second_d = (jnp.asarray(a) for a in arrays)
+    if not options.exact_pvalues:
+        # device-LRT flavor: vmap the full classify kernel with per-sample
+        # priors (same erfc path per lane as classify_local standalone)
+        from sid_tpu.models.local import classify_local
+
+        tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+        priors = np.array([f.pi for f in fits], np.float64)
+        if priors.shape[0] != profs_d.shape[0]:  # mesh S padding
+            priors = np.concatenate(
+                [priors, np.zeros(profs_d.shape[0] - priors.shape[0])]
+            )
+        with profiling.device_stage("population_classify_local"):
+            out_dev = _classify_local_full_batched(
+                profs_d,
+                jnp.float64(options.site_error_threshold),
+                jnp.float64(options.significance_level),
+                jnp.asarray(priors),
+                tab,
+            )
+            is_het_b, major_b, second_b, p1_b, p2_b = (
+                np.asarray(o) for o in out_dev[:5]
+            )
+        return [
+            (
+                is_het_b[i, : p.shape[0]],
+                major_b[i, : p.shape[0]],
+                second_b[i, : p.shape[0]],
+                p1_b[i, : p.shape[0]],
+                p2_b[i, : p.shape[0]],
+            )
+            for i, (p, _) in enumerate(per_sample)
+        ]
+    if device_precision() == "ds" and options.exact_pvalues:
+        from sid_tpu.ops.likelihoods_ds import lgamma_table_ds, log_int_table_ds
+
+        tsize = table_size(max_cov)
+        with profiling.device_stage("population_local_ds"):
+            l1, l2 = _local_log_likelihoods_ds_jit(
+                profs_d, major_d, second_d,
+                jnp.float64(options.site_error_threshold),
+                log_int_table_ds(tsize), lgamma_table_ds(tsize),
+            )
+            l1 = np.asarray(l1)
+            l2 = np.asarray(l2)
+    else:
+        tab = jnp.asarray(lgamma_int_table(table_size(max_cov)))
+        with profiling.device_stage("population_local"):
+            l1, l2 = local_log_likelihoods(
+                profs_d, major_d, second_d,
+                jnp.float64(options.site_error_threshold), tab,
+            )
+            l1 = np.asarray(l1)
+            l2 = np.asarray(l2)
+
+    out = []
+    for i, ((p, _), fit) in enumerate(zip(per_sample, fits)):
+        u = p.shape[0]
+        a, b = l1[i, :u].copy(), l2[i, :u].copy()
+        if fit.pi > 0:
+            a = a + np.log(np.float64(1.0 - fit.pi))
+            b = b + np.log(np.float64(fit.pi))
+        p1 = stats.lrt_pvalue_from_logs_np(b, a)
+        p2 = stats.lrt_pvalue_from_logs_np(a, b)
+        with np.errstate(invalid="ignore"):
+            is_het = (b > a) & (p2 < options.significance_level)
+        out.append((is_het, major[i, :u], second[i, :u], p1, p2))
+    return out
 
 
 def call_population(
@@ -312,16 +555,23 @@ def call_population(
     )
 
     results = []
-    for b, (p, m, inv), fit in zip(batches, uniques, fits):
-        if options.method == "quality":
-            from sid_tpu.models.quality import call_quality
+    if options.method == "quality":
+        # per-site method: classification is per read column, so each sample
+        # runs through call_quality with its fitted pi as the SNP prior
+        from sid_tpu.models.quality import call_quality
 
+        for b, fit in zip(batches, fits):
             opts = dataclasses.replace(
                 options, estimate_prior=False, snp_prior=fit.pi
             )
             results.append(call_quality(b, opts))
-            continue
-        cls, filtered, conf_type = classify_sample_profiles(p, m, fit, options)
+        return results
+    # cohort classify: ONE batched device dispatch for all samples' class
+    # tables (the fits above are likewise batched), then per-sample joins
+    cls_list, filtered, conf_type = classify_population_profiles(
+        [(p, m) for p, m, _ in uniques], fits, options
+    )
+    for b, (p, m, inv), cls in zip(batches, uniques, cls_list):
         keep = filter_min_coverage(p, m, 4)[2] if filtered else None
         results.append(
             common.gather_result(b, conf_type, inv, *cls, keep_u=keep)
@@ -360,8 +610,16 @@ def call_population_streaming(
     )
 
     needs_reads = options.method == "quality"
+    if not needs_reads:
+        # cohort classify up front: one batched device dispatch covers every
+        # sample's class table before the chunked pass-2 re-parses begin
+        cls_all, filtered, conf_type = classify_population_profiles(
+            full_hists, fits, options
+        )
     counts = []
-    for path, (profiles, mult), fit in zip(paths, full_hists, fits):
+    for i, (path, (profiles, mult), fit) in enumerate(
+        zip(paths, full_hists, fits)
+    ):
         out_path = path + ".calls.csv"
         emitted = 0
         if needs_reads:
@@ -370,11 +628,9 @@ def call_population_streaming(
             opts = dataclasses.replace(
                 options, estimate_prior=False, snp_prior=fit.pi
             )
-            cls = keys = conf_type = None
+            cls = keys = None
         else:
-            cls, filtered, conf_type = classify_sample_profiles(
-                profiles, mult, fit, options
-            )
+            cls = cls_all[i]
             src = filter_min_coverage(profiles, mult, 4)[0] if filtered else profiles
             keys = pack_profiles(src)
         with open(out_path, "wb") as out:
@@ -403,11 +659,9 @@ def _classify_lr_fixed(profiles, mult, fit: SampleFit, options: Options):
     Reference semantics per sample (call.cpp:62-143): marginal likelihoods
     at the fitted error rate, optional -R prior weighting by the sample's
     pi, two LRT p-values, BH correction across the sample's own unique
-    profiles, het iff adjusted p2 < alpha.
+    profiles, het iff adjusted p2 < alpha. Single-sample entry point (the
+    cohort path dispatches the marginals batched and shares _lr_post).
     """
-    from sid_tpu.models import common
-    from sid_tpu.ops import stats
-
     u = profiles.shape[0]
     nt = nucleotide_distribution(profiles, mult)
     max_cov = int(profiles.sum(-1).max()) if u else 0
@@ -420,6 +674,14 @@ def _classify_lr_fixed(profiles, mult, fit: SampleFit, options: Options):
     log_l_het = np.asarray(
         likelihoods.log_het_marginal(prof, jnp.float64(fit.eps), nt, tab)
     )[:u]
+    return _lr_post(profiles, log_l_hom, log_l_het, fit, options)
+
+
+def _lr_post(profiles, log_l_hom, log_l_het, fit: SampleFit, options: Options):
+    """Host half of the LR classification: prior, LRT, per-sample BH."""
+    from sid_tpu.models import common
+    from sid_tpu.ops import stats
+
     log_l_hom = common.clamp_ld_underflow_np(log_l_hom)
     log_l_het = common.clamp_ld_underflow_np(log_l_het)
     if options.estimate_prior and fit.pi > 0:
@@ -444,9 +706,8 @@ def _classify_lr_fixed(profiles, mult, fit: SampleFit, options: Options):
 
 
 def _classify_bayes_fixed(profiles, mult, fit: SampleFit):
-    """Bayes per-class classification at a fixed (pi, eps)."""
-    from sid_tpu.models import common
-
+    """Bayes per-class classification at a fixed (pi, eps); single-sample
+    entry (the cohort path dispatches the marginals batched + _bayes_post)."""
     u = profiles.shape[0]
     # nucleotide distribution from the sample's own filtered histogram
     nt = nucleotide_distribution(profiles, mult)
@@ -460,6 +721,13 @@ def _classify_bayes_fixed(profiles, mult, fit: SampleFit):
     log_l_het = np.asarray(
         likelihoods.log_het_marginal(prof, jnp.float64(fit.eps), nt, tab)
     )[:u]
+    return _bayes_post(profiles, log_l_hom, log_l_het, fit)
+
+
+def _bayes_post(profiles, log_l_hom, log_l_het, fit: SampleFit):
+    """Host half of the Bayes classification: posterior odds at (pi, eps)."""
+    from sid_tpu.models import common
+
     pi = fit.pi
     log_apost_hom = log_l_hom + np.log(np.float64(1.0 - pi))
     log_apost_het = (
