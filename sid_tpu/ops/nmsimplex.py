@@ -198,14 +198,22 @@ def nm_iterate(f: Callable, state: NmState) -> NmState:
     )
 
 
-def minimize_nmsimplex2_jax(
+def minimize_nmsimplex2_jax_classic(
     f: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,
     step: jnp.ndarray,
     tol: float = 1e-5,
     max_iterations: int = 1000,
 ) -> NmResult:
-    """Minimize ``f`` with the nmsimplex2 rule, fully on device."""
+    """Minimize ``f`` with the nmsimplex2 rule, fully on device.
+
+    Direct transliteration of the spec: the while-loop body is one whole GSL
+    iteration, which instantiates the objective ~6x (reflect + expand +
+    contract + per-corner re-evals) and the init 3x more — ~9 copies of the
+    objective in the traced program. Kept as the executable reference for
+    the lean single-instantiation loop below (bitwise-equality tested); use
+    ``minimize_nmsimplex2_jax`` in production.
+    """
     state = nm_init(f, x0, step)
 
     def iterate(state: NmState) -> NmState:
@@ -222,6 +230,271 @@ def minimize_nmsimplex2_jax(
     def _recompute_size(state: NmState):
         _, s2 = _compute_center_size(state.x1)
         return jnp.sqrt(s2)
+
+    final = jax.lax.while_loop(cond, body, state)
+    lo = jnp.argmin(final.y1)
+    return NmResult(
+        x=final.x1[lo],
+        fval=final.y1[lo],
+        converged=final.converged,
+        iterations=final.iterations,
+    )
+
+
+class LeanState(NamedTuple):
+    """State machine for the single-instantiation loop (see below).
+
+    phase: 0=INIT (evaluating initial corners), 1=REFLECT (iteration start),
+    2=EXPAND, 3=CONTRACT, 4=CONTRACT_ALL (re-evaluating shrunk corners).
+    ``idx`` is the corner cursor for INIT/CONTRACT_ALL; hi/s_hi/lo and the
+    y-values at them are frozen at each REFLECT step (GSL scans once per
+    iteration); ``pend_x/pend_val`` hold the reflection while EXPAND decides.
+    """
+
+    x1: jnp.ndarray
+    y1: jnp.ndarray
+    center: jnp.ndarray
+    s2: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    phase: jnp.ndarray
+    idx: jnp.ndarray
+    hi: jnp.ndarray
+    s_hi: jnp.ndarray
+    lo: jnp.ndarray
+    y_lo: jnp.ndarray
+    y_shi: jnp.ndarray
+    y_hi: jnp.ndarray
+    pend_x: jnp.ndarray
+    pend_val: jnp.ndarray
+    ca_x1: jnp.ndarray
+
+
+_INIT, _REFLECT, _EXPAND, _CONTRACT, _CONTRACT_ALL = range(5)
+
+
+def _nm_state_tuple(s: LeanState) -> NmState:
+    return NmState(s.x1, s.y1, s.center, s.s2, s.iterations, s.converged)
+
+
+def _with_nm(s: LeanState, n: NmState) -> LeanState:
+    return s._replace(
+        x1=n.x1, y1=n.y1, center=n.center, s2=n.s2,
+        iterations=n.iterations, converged=n.converged,
+    )
+
+
+def minimize_nmsimplex2_jax(
+    f: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    step: jnp.ndarray,
+    tol: float = 1e-5,
+    max_iterations: int = 1000,
+) -> NmResult:
+    """Minimize ``f`` with the nmsimplex2 rule — lean compile form.
+
+    The while-loop body evaluates the objective EXACTLY ONCE at a
+    phase-selected point; the GSL iteration structure (reflect -> expand /
+    contract / accept -> contract-all) becomes a state machine whose
+    non-objective arithmetic is a few dozen scalar ops in a lax.switch.
+    The objective — by far the dominant trace/compile cost for the Lynch
+    fit (a (U_pad, 10)-term reduction) — appears once in the whole traced
+    program, vs ~9 instantiations in the classic form: measured f64 fit
+    compile drops accordingly (DESIGN.md). Evaluation points, evaluation
+    order and all update arithmetic are op-for-op the classic loop's, so
+    trajectories are bitwise identical (tests/test_nmsimplex.py pins this
+    against minimize_nmsimplex2_jax_classic on adversarial objectives;
+    reference rule: optimization.hpp:46-72). Under vmap the switch becomes
+    a per-lane select while the single objective instantiation batches —
+    exactly what the population fits need.
+
+    One benign divergence from the classic trace: contract-all evaluates
+    only the p-1 moved corners (the classic form also instantiates f at the
+    kept best corner and discards it by a select), which changes no value.
+    """
+    x0 = jnp.asarray(x0, jnp.float64)
+    step = jnp.asarray(step, jnp.float64)
+    n = x0.shape[0]
+    p = n + 1
+    corners = jnp.concatenate([x0[None, :], x0[None, :] + jnp.diag(step)], axis=0)
+    i32 = jnp.int32
+    state = LeanState(
+        x1=corners,
+        y1=jnp.zeros((p,), jnp.float64),
+        center=jnp.zeros((n,), jnp.float64),
+        s2=jnp.float64(0.0),
+        iterations=i32(0),
+        converged=jnp.array(False),
+        phase=i32(_INIT),
+        idx=i32(0),
+        hi=i32(0),
+        s_hi=i32(0),
+        lo=i32(0),
+        y_lo=jnp.float64(0.0),
+        y_shi=jnp.float64(0.0),
+        y_hi=jnp.float64(0.0),
+        pend_x=jnp.zeros((n,), jnp.float64),
+        pend_val=jnp.float64(0.0),
+        ca_x1=corners,
+    )
+
+    def select(s: LeanState):
+        """Phase-dependent evaluation point (+ the REFLECT-step scan)."""
+
+        def sel_init(s):
+            return s, s.x1[s.idx]
+
+        def sel_reflect(s):
+            hi, s_hi, lo = _hi_shi_lo(s.y1)
+            s = s._replace(
+                hi=hi, s_hi=s_hi, lo=lo,
+                y_lo=s.y1[lo], y_shi=s.y1[s_hi], y_hi=s.y1[hi],
+            )
+            return s, _try_corner_move(-1.0, _nm_state_tuple(s), hi)
+
+        def sel_expand(s):
+            return s, _try_corner_move(-2.0, _nm_state_tuple(s), s.hi)
+
+        def sel_contract(s):
+            # state already carries the maybe-accepted reflection (applied
+            # on the REFLECT step), matching branch_contract's ordering
+            return s, _try_corner_move(0.5, _nm_state_tuple(s), s.hi)
+
+        def sel_contract_all(s):
+            return s, s.ca_x1[s.idx]
+
+        return jax.lax.switch(
+            s.phase,
+            [sel_init, sel_reflect, sel_expand, sel_contract, sel_contract_all],
+            s,
+        )
+
+    def complete(s: LeanState) -> LeanState:
+        """End of one GSL iteration: count it, check the size stop."""
+        it = s.iterations + 1
+        size = jnp.where(
+            s.s2 > 0,
+            jnp.sqrt(s.s2),
+            jnp.sqrt(_compute_center_size(s.x1)[1]),
+        )
+        return s._replace(
+            iterations=it, converged=size < tol, phase=i32(_REFLECT)
+        )
+
+    def update(s: LeanState, x, val) -> LeanState:
+        def upd_init(s):
+            s = s._replace(y1=s.y1.at[s.idx].set(val))
+            done = s.idx == p - 1
+            center, s2 = _compute_center_size(s.x1)
+            return jax.lax.cond(
+                done,
+                lambda s: s._replace(
+                    center=center, s2=s2, phase=i32(_REFLECT), idx=i32(0)
+                ),
+                lambda s: s._replace(idx=s.idx + 1),
+                s,
+            )
+
+        def upd_reflect(s):
+            b1 = jnp.isfinite(val) & (val < s.y_lo)
+            b2 = (~jnp.isfinite(val)) | (val > s.y_shi)
+
+            def to_expand(s):
+                return s._replace(
+                    pend_x=x, pend_val=val, phase=i32(_EXPAND)
+                )
+
+            def to_contract(s):
+                # accept reflection first if it at least beats the highest
+                s = jax.lax.cond(
+                    jnp.isfinite(val) & (val <= s.y_hi),
+                    lambda t: _with_nm(
+                        t, _update_point(_nm_state_tuple(t), t.hi, x, val)
+                    ),
+                    lambda t: t,
+                    s,
+                )
+                return s._replace(phase=i32(_CONTRACT))
+
+            def accept(s):
+                s = _with_nm(
+                    s, _update_point(_nm_state_tuple(s), s.hi, x, val)
+                )
+                return complete(s)
+
+            return jax.lax.cond(
+                b1, to_expand,
+                lambda s: jax.lax.cond(b2, to_contract, accept, s),
+                s,
+            )
+
+        def upd_expand(s):
+            take2 = jnp.isfinite(val) & (val < s.y_lo)
+            s = jax.lax.cond(
+                take2,
+                lambda t: _with_nm(
+                    t, _update_point(_nm_state_tuple(t), t.hi, x, val)
+                ),
+                lambda t: _with_nm(
+                    t,
+                    _update_point(
+                        _nm_state_tuple(t), t.hi, t.pend_x, t.pend_val
+                    ),
+                ),
+                s,
+            )
+            return complete(s)
+
+        def upd_contract(s):
+            def one_dim(s):
+                s = _with_nm(
+                    s, _update_point(_nm_state_tuple(s), s.hi, x, val)
+                )
+                return complete(s)
+
+            def to_contract_all(s):
+                # contract every non-best corner toward the best; corners
+                # are re-evaluated one per loop trip in index order
+                best_x = s.x1[s.lo]
+                new_x1 = 0.5 * (s.x1 + best_x[None, :])
+                new_x1 = new_x1.at[s.lo].set(best_x)
+                first = jnp.where(s.lo == 0, i32(1), i32(0))
+                return s._replace(
+                    ca_x1=new_x1, idx=first, phase=i32(_CONTRACT_ALL)
+                )
+
+            return jax.lax.cond(
+                jnp.isfinite(val) & (val <= s.y1[s.hi]),
+                one_dim, to_contract_all, s,
+            )
+
+        def upd_contract_all(s):
+            s = s._replace(y1=s.y1.at[s.idx].set(val))
+            nxt = s.idx + 1
+            nxt = jnp.where(nxt == s.lo, nxt + 1, nxt)
+
+            def finish(s):
+                center, s2 = _compute_center_size(s.ca_x1)
+                s = s._replace(x1=s.ca_x1, center=center, s2=s2)
+                return complete(s)
+
+            return jax.lax.cond(
+                nxt > p - 1, finish, lambda t: t._replace(idx=nxt), s
+            )
+
+        return jax.lax.switch(
+            s.phase,
+            [upd_init, upd_reflect, upd_expand, upd_contract, upd_contract_all],
+            s,
+        )
+
+    def cond(s: LeanState):
+        return (~s.converged) & (s.iterations < max_iterations)
+
+    def body(s: LeanState) -> LeanState:
+        s, x_eval = select(s)
+        val = f(x_eval)  # the ONE objective instantiation in the program
+        return update(s, x_eval, val)
 
     final = jax.lax.while_loop(cond, body, state)
     lo = jnp.argmin(final.y1)
