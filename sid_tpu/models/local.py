@@ -164,17 +164,35 @@ def classify_profiles_local(
             )
 
             tsize = table_size(max_cov)
-            with profiling.device_stage("local_log_likelihoods_ds"):
-                l1, l2 = _local_log_likelihoods_ds_jit(
-                    jnp.asarray(prof_dev),
-                    jnp.asarray(major),
-                    jnp.asarray(second),
-                    jnp.float64(options.site_error_threshold),
-                    log_int_table_ds(tsize),
-                    lgamma_table_ds(tsize),
+            if os.environ.get("SIDTPU_DEVICE_IMPL") == "pallas":
+                # Mosaic prototype of the same DS math (ops/pallas_classify):
+                # measured against the XLA kernel in bench.py's microbench
+                from sid_tpu.ops.pallas_classify import (
+                    local_log_likelihoods_pallas,
                 )
-                l1 = np.asarray(l1)[:u]
-                l2 = np.asarray(l2)[:u]
+
+                with profiling.device_stage("local_log_likelihoods_pallas"):
+                    l1, l2 = local_log_likelihoods_pallas(
+                        jnp.asarray(prof_dev),
+                        jnp.asarray(major),
+                        jnp.asarray(second),
+                        jnp.float64(options.site_error_threshold),
+                        lgamma_table_ds(tsize),
+                    )
+                    l1 = np.asarray(l1)[:u]
+                    l2 = np.asarray(l2)[:u]
+            else:
+                with profiling.device_stage("local_log_likelihoods_ds"):
+                    l1, l2 = _local_log_likelihoods_ds_jit(
+                        jnp.asarray(prof_dev),
+                        jnp.asarray(major),
+                        jnp.asarray(second),
+                        jnp.float64(options.site_error_threshold),
+                        log_int_table_ds(tsize),
+                        lgamma_table_ds(tsize),
+                    )
+                    l1 = np.asarray(l1)[:u]
+                    l2 = np.asarray(l2)[:u]
         else:
             with profiling.device_stage("local_log_likelihoods"):
                 l1, l2 = local_log_likelihoods(
@@ -198,6 +216,10 @@ def classify_profiles_local(
             is_het = (l2 > l1) & (p2 < options.significance_level)
         return is_het, major, second, p1, p2
 
+    # non-exact_pvalues branch: SIDTPU_DEVICE_PREC=ds is deliberately ignored
+    # here (stays f64) — the DS kernels have no device erfc and require the
+    # host-LRT flow (exact_pvalues), mirroring quality.py's guard. Placement
+    # comparisons with exact_pvalues off therefore always measure f64.
     prof_dev = jnp.asarray(padded)
     if mesh_devices is not None:
         from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
