@@ -21,11 +21,10 @@ def call_batch(
     diag: Optional[Callable[[str], None]] = None,
 ) -> Optional[CallResult]:
     """Dispatch one parsed batch to the selected method implementation."""
-    from sid_tpu.utils.keepalive import ensure_device_keepalive
-
-    ensure_device_keepalive()
     method = options.method
     if options.engine == "exact":
+        # host-only oracle: never touch (or claim) the accelerator — no
+        # keepalive, no backend init (ADVICE r4 #1)
         from sid_tpu.exact import engine as exact_engine
 
         table = {
@@ -35,6 +34,9 @@ def call_batch(
             "quality": exact_engine.call_quality_exact,
         }
     else:
+        from sid_tpu.utils.keepalive import ensure_device_keepalive
+
+        ensure_device_keepalive()
         from sid_tpu.models import bayes, likelihood_ratio, local, quality
 
         table = {

@@ -309,6 +309,16 @@ def compound_neg_log_likelihood_ds(
     The 10 weight logs are one vectorized DS log of an f64 weight vector;
     the final mult-weighted reduction runs in emulated f64 (exact relative
     to the DS terms).
+
+    Fitted-parameter drift bound (tests/test_ds.py::TestFitParameterDrift):
+    driving the GSL nmsimplex2 rule with this objective lands on the same
+    (pi, eps) as the f64 objective — bitwise identical on CPU for both
+    realistic and degenerate histograms; the regression tolerance is
+    |d_pi| <= max(1e-8, 1e-4 pi) / |d_eps| <= max(1e-9, 1e-5 eps) on
+    realistic inputs and |d_pi| <= 1e-6 absolute on degenerate near-zero-pi
+    fits. On TPU the cross-precision gap is dominated by the *f64 side's*
+    emulation wobble (~6e-7 in pi on the degenerate bench histogram,
+    BENCH_r04), not by this kernel.
     """
     pi = theta[..., 0]
     eps = theta[..., 1]
@@ -408,9 +418,12 @@ def finalize_quality_logs_ds(
     lpp1 = jnp.where(hom64 < LONG_DOUBLE_UNDERFLOW_LOG, neginf, hom64)
     lpp2 = jnp.where(het64 < LONG_DOUBLE_UNDERFLOW_LOG, neginf, het64)
     prior_on = snp_prior > 0
-    pr = jnp.clip(snp_prior, 1e-300, 1.0)
-    lp_hom = ds.to_f64(ds.log(ds.from_f64(1.0 - pr)))
-    lp_het = ds.to_f64(ds.log(ds.from_f64(pr)))
+    # the two prior logs are host-scalar work: compute them in plain f64
+    # exactly like the f64 kernel (finalize_quality) — a DS/f32-range log
+    # would turn priors below ~1e-38 into -inf instead of the finite
+    # log(prior) the f64 path produces (ADVICE r4 #3)
+    lp_hom = jnp.log(1.0 - snp_prior)
+    lp_het = jnp.log(snp_prior)
     lpp1 = lpp1 + jnp.where(prior_on, lp_hom, 0.0)
     lpp2 = lpp2 + jnp.where(prior_on, lp_het, 0.0)
     return lpp1, lpp2

@@ -336,3 +336,76 @@ class TestKeepalive:
         after = {t.name for t in threading.enumerate()}
         assert "sidtpu-device-keepalive" not in after - before
         assert keepalive._started
+
+
+class TestFitParameterDrift:
+    """DS-vs-f64 fitted-parameter agreement (VERDICT r4 next #7).
+
+    The kernel- and CSV-level DS tests above cannot see a drifting fit
+    OPTIMUM; this bounds |pi_ds - pi_f64| and |eps_ds - eps_f64| directly.
+    Measured on CPU the two trajectories are bitwise identical (the
+    objectives agree to ~1e-13 relative, and the 1e-5-size GSL stop makes
+    the discrete trajectory insensitive at that gap) on realistic AND
+    degenerate inputs; the tolerances below leave headroom for XLA version
+    skew. (On TPU, where "f64" is itself emulated, the f64 side wobbles by
+    ~6e-7 on degenerate near-zero-pi fits — BENCH_r04 fit_lynch rows — so
+    the honest cross-precision bound there is the one documented in
+    ops/likelihoods_ds.py, not this CPU pin.)
+    """
+
+    def _fit_pair(self, profiles, mult):
+        from sid_tpu.ops.nmsimplex import minimize_nmsimplex2_jax
+        from sid_tpu.ops.profiles import nucleotide_distribution
+        from sid_tpu.utils.padding import pad_axis0
+
+        nt = nucleotide_distribution(profiles, mult)
+        tab64 = jnp.asarray(lgamma_int_table(1023))
+        gtab = lds.lgamma_table_ds(1024)
+        fpad = jnp.asarray(pad_axis0(profiles.astype(np.int32)))
+        mpad = jnp.asarray(pad_axis0(mult.astype(np.int64)))
+        r64 = minimize_nmsimplex2_jax(
+            lambda th: lk.compound_neg_log_likelihood(
+                th, fpad, mpad, jnp.asarray(nt), tab64
+            ),
+            jnp.asarray([1e-3, 1e-3]), jnp.asarray([1e-4, 1e-4]),
+        )
+        rds = minimize_nmsimplex2_jax(
+            lambda th: lds.compound_neg_log_likelihood_ds(
+                th, fpad, mpad.astype(jnp.float64), jnp.asarray(nt), gtab
+            ),
+            jnp.asarray([1e-3, 1e-3]), jnp.asarray([1e-4, 1e-4]),
+        )
+        return (
+            (float(r64.x[0]), float(r64.x[1])),
+            (float(rds.x[0]), float(rds.x[1])),
+        )
+
+    def test_realistic_fit_params_agree(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from synth import simulate_diploid_counts
+
+        from sid_tpu.ops.profiles import filter_min_coverage, unique_profiles
+
+        counts = simulate_diploid_counts(
+            20000, coverage=30, pi=1e-3, eps=0.01, seed=41
+        )
+        p, m, _ = unique_profiles(counts)
+        fp, fm, _ = filter_min_coverage(p, m, 4)
+        (pi64, eps64), (pids, epsds) = self._fit_pair(fp, fm)
+        assert abs(pi64 - pids) <= max(1e-8, 1e-4 * pi64), (pi64, pids)
+        assert abs(eps64 - epsds) <= max(1e-9, 1e-5 * eps64), (eps64, epsds)
+
+    def test_degenerate_near_zero_pi_fit_params_agree(self):
+        # the bench microbench histogram: optimum pi ~ 3e-7 against a huge
+        # eps — the shape where TPU emulated-f64 wobbled in r4
+        rng = np.random.default_rng(1)
+        u = 2000
+        profiles = rng.multinomial(
+            30, [0.85, 0.08, 0.05, 0.02], (u,)
+        ).astype(np.int32)
+        mult = rng.integers(1, 1000, u).astype(np.int64)
+        (pi64, eps64), (pids, epsds) = self._fit_pair(profiles, mult)
+        assert abs(pi64 - pids) <= 1e-6, (pi64, pids)
+        assert abs(eps64 - epsds) <= max(1e-7, 1e-4 * eps64), (eps64, epsds)
