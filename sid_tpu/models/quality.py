@@ -296,9 +296,19 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
             conf_type="p_value",
         )
 
-    counts_p = pad_axis0(batch.counts.astype(np.int32))
-    major_p = pad_axis0(major)
-    second_p = pad_axis0(second)
+    # transfer-slim device inputs (VERDICT r4 next #4): the device half only
+    # reads counts through an int32 cast and major/second as gather indices,
+    # so ship the narrowest lossless dtypes — uint16 counts (coverage per
+    # base < 65536 on any real pileup; guarded) and int8 allele indices.
+    # This halves the h2d bytes of the forced-device leg's dominant arrays.
+    counts_src = batch.counts
+    if counts_src.dtype != np.uint16 and n and int(counts_src.max()) < 65536:
+        counts_src = counts_src.astype(np.uint16)
+    elif counts_src.dtype != np.uint16:
+        counts_src = counts_src.astype(np.int32)
+    counts_p = pad_axis0(counts_src)
+    major_p = pad_axis0(major.astype(np.int8))
+    second_p = pad_axis0(second.astype(np.int8))
     log_hom_p = pad_axis0(log_hom)
     log_het_p = pad_axis0(log_het)
 
