@@ -342,10 +342,17 @@ def _warm_microbench_shapes(log) -> None:
 
     args = microbench_inputs()
     for name, fn in microbench_kernels():
-        t0 = time.time()
-        jax.block_until_ready(fn(args))
-        log(f"# warm {name}@{MICROBENCH_U}: {time.time() - t0:.1f}s")
-        for k in (LOOP_K_SMALL, LOOP_K_BIG):
+        try:
             t0 = time.time()
-            jax.block_until_ready(make_looped_kernel(fn, k)(args))
-            log(f"# warm {name}@{MICROBENCH_U} x{k} loop: {time.time() - t0:.1f}s")
+            jax.block_until_ready(fn(args))
+            log(f"# warm {name}@{MICROBENCH_U}: {time.time() - t0:.1f}s")
+            for k in (LOOP_K_SMALL, LOOP_K_BIG):
+                t0 = time.time()
+                jax.block_until_ready(make_looped_kernel(fn, k)(args))
+                log(f"# warm {name}@{MICROBENCH_U} x{k} loop: "
+                    f"{time.time() - t0:.1f}s")
+        except Exception as exc:
+            # a kernel that fails to lower here (e.g. the Mosaic prototype on
+            # an unsupported platform) is recorded and skipped — bench.py
+            # reports the same failure as a microbench row
+            log(f"# warm {name}: FAILED {str(exc)[:160]}")
