@@ -256,6 +256,17 @@ def _device_microbench():
 
     bf16_peak = 197e12
     out = {}
+    if jax.default_backend() != "cpu" and not os.environ.get(
+        "SIDTPU_BENCH_PALLAS"
+    ):
+        # the honest record for the Mosaic prototype on THIS platform
+        # (see warmup._pallas_microbench_entries for the measurement)
+        out["local_log_likelihoods_pallas"] = {
+            "skipped": "axon remote compiler rejects Mosaic payloads "
+            "(HTTP 500 tpu_compile_helper, r5 warm-cache; minimal "
+            "pallas_call hangs >300s) — opt in with SIDTPU_BENCH_PALLAS=1 "
+            "on hardware with a local Mosaic toolchain",
+        }
     args = microbench_inputs()
     for name, fn in microbench_kernels():
         try:

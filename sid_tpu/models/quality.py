@@ -87,6 +87,32 @@ def accumulate_read_terms(batch, major: np.ndarray, second: np.ndarray):
 
 
 @jax.jit
+def finalize_quality_het(
+    counts: jnp.ndarray,  # (N, 4) uint16/int32 (padded)
+    major: jnp.ndarray,
+    second: jnp.ndarray,
+    log_het: jnp.ndarray,  # (N,) f64 per-site het sums
+    lgamma_tab: jnp.ndarray,
+):
+    """Device half of the sharded finalize: ONLY the het side needs the
+    chip (allele-balance binomial from counts, call.cpp:344-347); the hom
+    side is a clamp + one scalar prior log the host does bitwise-identically.
+    Shipping log_hom up and both post-prior logs back doubled the sharded
+    quality leg's transfer bytes for no compute (r5; BENCH_detail.json
+    stage breakdowns). Returns clamp(log_het + binom) — the prior add runs
+    host-side after (same f64 add, bitwise equal)."""
+    counts = counts.astype(jnp.int32)
+    n = jnp.take_along_axis(counts, major[:, None].astype(jnp.int32), 1)[:, 0] + (
+        jnp.take_along_axis(counts, second[:, None].astype(jnp.int32), 1)[:, 0]
+    )
+    k = jnp.take_along_axis(counts, second[:, None].astype(jnp.int32), 1)[:, 0]
+    log_het = log_het + stats.log_binomial_coefficient(n, k, lgamma_tab) - (
+        n.astype(jnp.float64) * jnp.log(2.0)
+    )
+    return common.clamp_ld_underflow(log_het)
+
+
+@jax.jit
 def finalize_quality(
     counts: jnp.ndarray,  # (N, 4) int32 (padded)
     major: jnp.ndarray,
@@ -241,6 +267,14 @@ def _finalize_quality_ds_jit(
     )
 
 
+@jax.jit
+def _finalize_quality_het_ds_jit(counts, major, second, log_het, lgamma_tab_ds):
+    """Jitted DS het-only finalize (transfer-lean sharded path)."""
+    from sid_tpu.ops.likelihoods_ds import finalize_quality_het_ds
+
+    return finalize_quality_het_ds(counts, major, second, log_het, lgamma_tab_ds)
+
+
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     from sid_tpu.utils import profiling
 
@@ -309,58 +343,67 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     counts_p = pad_axis0(counts_src)
     major_p = pad_axis0(major.astype(np.int8))
     second_p = pad_axis0(second.astype(np.int8))
-    log_hom_p = pad_axis0(log_hom)
     log_het_p = pad_axis0(log_het)
 
     max_cov = int(batch.counts.sum(-1).max()) if n else 0
     tab = jnp.asarray(lgamma_int_table(table_size(2 * max_cov)))
 
-    arrays = [counts_p, major_p, second_p, log_hom_p, log_het_p]
-    if options.mesh_devices is not None:
+    def shard(arrays):
+        if options.mesh_devices is None:
+            return arrays
         from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
 
         mesh = make_site_mesh(options.mesh_devices)
         n_dev = int(np.prod(mesh.devices.shape))
-        if counts_p.shape[0] % n_dev == 0:
-            arrays = [
-                jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays
-            ]
+        if arrays[0].shape[0] % n_dev != 0:
+            return arrays
+        return [jax.device_put(a, row_sharding(mesh, a.ndim)) for a in arrays]
+
     from sid_tpu.ops.likelihoods_ds import device_precision
 
-    if device_precision() == "ds" and options.exact_pvalues:
-        # double-single f32 finalize (lgamma-table gathers + DS adds); the
-        # LRT always runs on host afterwards, so only the post-prior logs
-        # come back. Requires exact_pvalues (no DS erfc on device).
-        from sid_tpu.ops.likelihoods_ds import lgamma_table_ds
+    if options.exact_pvalues:
+        # Sharded finalize, transfer-lean (r5): only the HET side touches
+        # the device (the allele-balance binomial needs the counts); the
+        # hom clamp and the two scalar prior adds are elementary host f64
+        # — bitwise-identical to the old on-device adds — so log_hom never
+        # ships up and only one f64 plane ships back. Measured r5: the old
+        # both-logs round trip made transfers the whole `call` stage of the
+        # forced-device leg (BENCH_detail.json stage breakdowns).
+        arrays = shard([counts_p, major_p, second_p, log_het_p])
+        if device_precision() == "ds":
+            from sid_tpu.ops.likelihoods_ds import lgamma_table_ds
 
-        tab_ds = lgamma_table_ds(table_size(2 * max_cov))
-        with profiling.device_stage("finalize_quality_ds"):
-            dev = [jnp.asarray(a) for a in arrays]
-            log_pp1, log_pp2 = _finalize_quality_ds_jit(
-                *dev, jnp.float64(snp_prior), tab_ds
-            )
-            jax.block_until_ready((log_pp1, log_pp2))
-        is_het = p1 = p2 = None  # recomputed below from the logs
+            tab_ds = lgamma_table_ds(table_size(2 * max_cov))
+            with profiling.device_stage("finalize_quality_het_ds"):
+                dev = [jnp.asarray(a) for a in arrays]
+                het_dev = _finalize_quality_het_ds_jit(*dev, tab_ds)
+                lpp2 = np.asarray(het_dev)[:n]  # d2h inside the stage
+        else:
+            with profiling.device_stage("finalize_quality_het"):
+                dev = [jnp.asarray(a) for a in arrays]
+                het_dev = finalize_quality_het(*dev, tab)
+                lpp2 = np.asarray(het_dev)[:n]  # d2h inside the stage
+        lpp1 = common.clamp_ld_underflow_np(log_hom[:n])
+        if snp_prior > 0:
+            lpp1 = lpp1 + np.log(np.float64(1.0 - snp_prior))
+            lpp2 = lpp2 + np.log(np.float64(snp_prior))
+        p1 = stats.lrt_pvalue_from_logs_np(lpp2, lpp1)
+        p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
+        is_het = p2 < options.significance_level
     else:
+        log_hom_p = pad_axis0(log_hom)
+        arrays = shard([counts_p, major_p, second_p, log_hom_p, log_het_p])
         with profiling.device_stage("finalize_quality"):
             dev = [jnp.asarray(a) for a in arrays]
-            is_het, p1, p2, log_pp1, log_pp2 = finalize_quality(
+            out = finalize_quality(
                 *dev,
                 jnp.float64(snp_prior),
                 jnp.float64(options.significance_level),
                 tab,
             )
-            jax.block_until_ready((is_het, p1, p2, log_pp1, log_pp2))
-    if options.exact_pvalues:
-        lpp1 = np.asarray(log_pp1)[:n]
-        lpp2 = np.asarray(log_pp2)[:n]
-        p1 = stats.lrt_pvalue_from_logs_np(lpp2, lpp1)
-        p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
-        is_het = p2 < options.significance_level
-    else:
-        is_het = np.asarray(is_het)[:n]
-        p1 = np.asarray(p1)[:n]
-        p2 = np.asarray(p2)[:n]
+            is_het = np.asarray(out[0])[:n]
+            p1 = np.asarray(out[1])[:n]
+            p2 = np.asarray(out[2])[:n]
     return common.CallResult(
         chrom_id=batch.chrom_id,
         chrom_table=batch.chrom_table,

@@ -379,6 +379,39 @@ def compound_neg_log_likelihood_ds(
 # ---------------------------------------------------------------------------
 
 
+def finalize_quality_het_ds(
+    counts: jnp.ndarray,
+    major: jnp.ndarray,
+    second: jnp.ndarray,
+    log_het: jnp.ndarray,
+    lgamma_tab: ds.DS,
+) -> jnp.ndarray:
+    """Device half of the sharded DS finalize: het binomial only (see
+    models/quality.finalize_quality_het — the hom clamp and both prior adds
+    are elementary host f64). Returns the clamped pre-prior het log."""
+    counts = counts.astype(jnp.int32)
+    major = major.astype(jnp.int32)
+    second = second.astype(jnp.int32)
+    n = (
+        jnp.take_along_axis(counts, major[:, None], 1)[:, 0]
+        + jnp.take_along_axis(counts, second[:, None], 1)[:, 0]
+    )
+    k = jnp.take_along_axis(counts, second[:, None], 1)[:, 0]
+    log_c = ds.sub(
+        ds.sub(_gather(lgamma_tab, n + 1), _gather(lgamma_tab, n - k + 1)),
+        _gather(lgamma_tab, k + 1),
+    )
+    het = ds.add_terms(
+        [
+            ds.from_f64(log_het),
+            log_c,
+            ds.neg(ds.xlogy_int(n, _const(_LOG2))),
+        ]
+    )
+    het64 = ds.to_f64(het)
+    return jnp.where(het64 < LONG_DOUBLE_UNDERFLOW_LOG, -jnp.inf, het64)
+
+
 def finalize_quality_logs_ds(
     counts: jnp.ndarray,
     major: jnp.ndarray,

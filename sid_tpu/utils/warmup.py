@@ -278,10 +278,21 @@ def _pallas_microbench_entries(thr):
     a try/except and records failures — a Mosaic lowering error on the
     remote platform becomes an honest microbench row, not a crash.
     """
+    import os
+
     import jax
     import jax.numpy as jnp
 
     if jax.default_backend() == "cpu":
+        return []
+    if not os.environ.get("SIDTPU_BENCH_PALLAS"):
+        # Measured round 5: this container's axon remote-compile service
+        # rejects EVERY Mosaic payload — the full kernel gets HTTP 500
+        # "tpu_compile_helper subprocess exit code 1" and even a minimal
+        # out=in*2 pallas_call hangs >300 s (DESIGN.md "The Pallas kernel").
+        # Including the entry by default risks hanging the whole bench on a
+        # platform that cannot run it; opt back in with SIDTPU_BENCH_PALLAS=1
+        # on hardware with a local Mosaic toolchain.
         return []
     from sid_tpu.ops.pallas_classify import local_log_likelihoods_pallas
 
