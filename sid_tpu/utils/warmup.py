@@ -232,7 +232,12 @@ def microbench_kernels():
         _local_log_likelihoods_ds_jit,
         local_log_likelihoods,
     )
-    from sid_tpu.models.quality import _finalize_quality_ds_jit, finalize_quality
+    from sid_tpu.models.quality import (
+        _finalize_quality_ds_jit,
+        _finalize_quality_het_ds_jit,
+        finalize_quality,
+        finalize_quality_het,
+    )
 
     thr = 0.1
     entries = _pallas_microbench_entries(thr)
@@ -264,6 +269,22 @@ def microbench_kernels():
             lambda a: _finalize_quality_ds_jit(
                 a["profiles"], a["major"], a["second"], a["log_hom"],
                 a["log_het"], jnp.float64(-1.0), a["lgamma_tab_ds"],
+            ),
+        ),
+        # the transfer-lean het-only finalize (the sharded production path
+        # since r5; the full kernels above remain the non-exact_pvalues path)
+        (
+            "finalize_quality_het_f64",
+            lambda a: finalize_quality_het(
+                a["profiles"], a["major"], a["second"], a["log_het"],
+                a["lgamma_tab"],
+            ),
+        ),
+        (
+            "finalize_quality_het_ds",
+            lambda a: _finalize_quality_het_ds_jit(
+                a["profiles"], a["major"], a["second"], a["log_het"],
+                a["lgamma_tab_ds"],
             ),
         ),
     ]
