@@ -67,6 +67,19 @@ def _pad_stack(
 
 
 @jax.jit
+def _fit_pooled(pp, pm, pnt, ptab):
+    """Jitted pooled-histogram 2-D fit (one trace per shape bucket; the
+    eager while_loop re-traced its body on every cohort, ~0.8 s host)."""
+
+    def objective(theta):
+        return likelihoods.compound_neg_log_likelihood(theta, pp, pm, pnt, ptab)
+
+    return minimize_nmsimplex2_jax(
+        objective, jnp.asarray([1e-3, 1e-3]), jnp.asarray([1e-4, 1e-4])
+    )
+
+
+@jax.jit
 def _fit_batched(profs, mults, nts, tab):
     """vmapped independent 2-D fits: (S,U,4),(S,U),(S,4) -> per-sample results."""
 
@@ -207,14 +220,8 @@ def fit_population(
         # bucket-pad the pooled histogram too (zero-mult rows are inert)
         pp_pad = pad_axis0(np.asarray(pp, np.int32))
         pm_pad = pad_axis0(np.asarray(pm, np.int64))
-
-        def objective(theta):
-            return likelihoods.compound_neg_log_likelihood(
-                theta, jnp.asarray(pp_pad), jnp.asarray(pm_pad), pnt, ptab
-            )
-
-        res = minimize_nmsimplex2_jax(
-            objective, jnp.asarray([1e-3, 1e-3]), jnp.asarray([1e-4, 1e-4])
+        res = _fit_pooled(
+            jnp.asarray(pp_pad), jnp.asarray(pm_pad), jnp.asarray(pnt), ptab
         )
         pooled = SampleFit(float(res.x[0]), float(res.x[1]), bool(res.converged))
         if diag:
@@ -230,8 +237,9 @@ def fit_population(
                 jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts),
                 jnp.float64(pooled.eps), tab,
             )
+        xs, conv = np.asarray(r.x), np.asarray(r.converged)
         fits = [
-            SampleFit(float(r.x[i, 0]), pooled.eps, bool(r.converged[i]))
+            SampleFit(float(xs[i, 0]), pooled.eps, bool(conv[i]))
             for i in range(s_real)
         ]
     elif mesh is not None:
@@ -239,14 +247,16 @@ def fit_population(
             mesh, jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts),
             tab,
         )
+        xs, conv = np.asarray(r.x), np.asarray(r.converged)
         fits = [
-            SampleFit(float(r.x[i, 0]), float(r.x[i, 1]), bool(r.converged[i]))
+            SampleFit(float(xs[i, 0]), float(xs[i, 1]), bool(conv[i]))
             for i in range(s_real)
         ]
     else:
         r = _fit_batched(jnp.asarray(profs), jnp.asarray(mults), jnp.asarray(nts), tab)
+        xs, conv = np.asarray(r.x), np.asarray(r.converged)
         fits = [
-            SampleFit(float(r.x[i, 0]), float(r.x[i, 1]), bool(r.converged[i]))
+            SampleFit(float(xs[i, 0]), float(xs[i, 1]), bool(conv[i]))
             for i in range(s_real)
         ]
     return fits, pooled
