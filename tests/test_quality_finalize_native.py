@@ -91,3 +91,61 @@ def test_env_kill_switch():
         )
     finally:
         del os.environ["SIDTPU_NO_NATIVE_FINALIZE"]
+
+
+class TestHetOnlyFinalizeDecomposition:
+    """The r5 transfer-lean sharded finalize must reproduce the FULL device
+    kernel: the het-only kernel + host prior add equals finalize_quality's
+    log_pp2 bitwise (same XLA backend, same op order — only the scalar
+    prior log moves host-side, an identical f64 add), and the host hom
+    side equals the full kernel's log_pp1 at the default prior-log value.
+    (The full device kernel and the host numpy finalize were never bitwise
+    equal — XLA contracts the n*log2 multiply-subtract into an FMA at the
+    ulp level, absorbed by the CSV's %g — so device-vs-device is the
+    meaningful contract here; CSV-level parity is covered by the mesh
+    equality tests.)"""
+
+    def test_het_kernel_plus_host_equals_full_kernel(self):
+        import jax.numpy as jnp
+
+        from sid_tpu.models import common
+        from sid_tpu.models.quality import finalize_quality, finalize_quality_het
+        from sid_tpu.ops.lgamma import lgamma_int_table, table_size
+
+        rng = np.random.default_rng(13)
+        n = 4096
+        counts = rng.multinomial(28, [0.7, 0.2, 0.07, 0.03], (n,)).astype(np.uint16)
+        major, second = common.major_allele_indices_np(counts.astype(np.int64))
+        log_hom = rng.uniform(-120.0, -1.0, n)
+        log_het = rng.uniform(-120.0, -1.0, n)
+        # rows deep enough to cross the long-double underflow clamp
+        log_het[0] = -12000.0
+        log_hom[1] = -12000.0
+        prior = 0.01
+        tab_np = lgamma_int_table(table_size(2 * 40))
+
+        # reference: the full device kernel (pre-r5 sharded path)
+        _, _, _, want1, want2 = (
+            np.asarray(o)
+            for o in finalize_quality(
+                jnp.asarray(counts), jnp.asarray(major.astype(np.int8)),
+                jnp.asarray(second.astype(np.int8)), jnp.asarray(log_hom),
+                jnp.asarray(log_het), jnp.float64(prior),
+                jnp.float64(0.05), jnp.asarray(tab_np),
+            )
+        )
+
+        # transfer-lean composition: device het kernel + host hom/prior
+        het_dev = np.asarray(
+            finalize_quality_het(
+                jnp.asarray(counts), jnp.asarray(major.astype(np.int8)),
+                jnp.asarray(second.astype(np.int8)), jnp.asarray(log_het),
+                jnp.asarray(tab_np),
+            )
+        )
+        got2 = het_dev + np.log(np.float64(prior))
+        got1 = common.clamp_ld_underflow_np(log_hom) + np.log(
+            np.float64(1.0 - prior)
+        )
+        np.testing.assert_array_equal(got1, want1)
+        np.testing.assert_array_equal(got2, want2)
