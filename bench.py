@@ -267,10 +267,38 @@ def _device_microbench():
             "pallas_call hangs >300s) — opt in with SIDTPU_BENCH_PALLAS=1 "
             "on hardware with a local Mosaic toolchain",
         }
-    args = microbench_inputs()
+    import numpy as np
+
+    def sync(x):
+        """Reliable completion barrier: fetch one element to host.
+
+        jax.block_until_ready is NOT a completion barrier on the axon
+        backend (measured r5: after heavy async queuing it returned in
+        0.2 ms while the dispatched 1M-row kernel plus 200 MB of pending
+        device_puts took 45 s to actually finish — ready events appear to
+        fire at enqueue). An 8-byte d2h fetch cannot complete before the
+        producing computation has, so every timed region below ends with
+        one; the constant fetch round trip cancels in the two-point loop
+        differencing.
+        """
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+
+    # Distinct-content input variants (same shapes/dtypes -> one executable):
+    # every timed call below runs on buffers no prior call of that executable
+    # has seen — repeat execution on identical buffers returned in ~0.3 ms
+    # (a served result, not a re-execution; r5). Each variant is drained
+    # (fetch-synced) BEFORE any timing so pending uploads can't leak into a
+    # timed region.
+    n_variants = 6
+    variants = [microbench_inputs(seed=i) for i in range(n_variants)]
+    for v in variants:
+        for leaf in jax.tree_util.tree_leaves(v):
+            np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+    args = variants[0]
     for name, fn in microbench_kernels():
         try:
-            jax.block_until_ready(fn(args))  # compile/warm
+            sync(fn(args))  # compile/warm (variant 0)
         except Exception as exc:
             # a kernel that fails to lower on this platform (e.g. the Mosaic
             # prototype) becomes an honest microbench row, not a crash
@@ -278,9 +306,10 @@ def _device_microbench():
             log(f"  [micro] {name}: FAILED {str(exc)[:200]}")
             continue
         times = []
-        for _ in range(5):
+        for r in range(5):
+            v = variants[1 + r % (n_variants - 1)]
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(args))
+            sync(fn(v))
             times.append(time.perf_counter() - t0)
         t_dispatch = stats.median(times)
 
@@ -288,11 +317,12 @@ def _device_microbench():
         t_loop = {}
         for k in (LOOP_K_SMALL, LOOP_K_BIG):
             looped = make_looped_kernel(fn, k)
-            jax.block_until_ready(looped(args))  # compile/warm
+            sync(looped(args))  # compile/warm (variant 0)
             samples = []
-            for _ in range(3):
+            for r in range(3):
+                v = variants[1 + r]
                 t0 = time.perf_counter()
-                jax.block_until_ready(looped(args))
+                sync(looped(v))
                 samples.append(time.perf_counter() - t0)
             t_loop[k] = stats.median(samples)
         t_exec = max(

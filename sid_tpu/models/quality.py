@@ -106,6 +106,23 @@ def finalize_quality_het(
         jnp.take_along_axis(counts, second[:, None].astype(jnp.int32), 1)[:, 0]
     )
     k = jnp.take_along_axis(counts, second[:, None].astype(jnp.int32), 1)[:, 0]
+    return finalize_quality_het_nk(n, k, log_het, lgamma_tab)
+
+
+@jax.jit
+def finalize_quality_het_nk(
+    n: jnp.ndarray,  # (N,) top-2 count sum (uint16/int32, padded)
+    k: jnp.ndarray,  # (N,) second-allele count
+    log_het: jnp.ndarray,  # (N,) f64 per-site het sums
+    lgamma_tab: jnp.ndarray,
+):
+    """Narrowest device half: the binomial only reads (n, k) = (top-2 sum,
+    second count), so the production sharded path ships those two narrow
+    planes instead of the full (N, 4) counts + two index planes — another
+    third off the h2d bytes on top of the het-only split. Host computes
+    n/k from counts bitwise-identically (exact integer gathers)."""
+    n = n.astype(jnp.int32)
+    k = k.astype(jnp.int32)
     log_het = log_het + stats.log_binomial_coefficient(n, k, lgamma_tab) - (
         n.astype(jnp.float64) * jnp.log(2.0)
     )
@@ -275,6 +292,14 @@ def _finalize_quality_het_ds_jit(counts, major, second, log_het, lgamma_tab_ds):
     return finalize_quality_het_ds(counts, major, second, log_het, lgamma_tab_ds)
 
 
+@jax.jit
+def _finalize_quality_het_nk_ds_jit(n, k, log_het, lgamma_tab_ds):
+    """Jitted DS (n, k)-plane finalize (the narrowest sharded path)."""
+    from sid_tpu.ops.likelihoods_ds import finalize_quality_het_nk_ds
+
+    return finalize_quality_het_nk_ds(n, k, log_het, lgamma_tab_ds)
+
+
 def call_quality(batch, options: Options, diag=None) -> common.CallResult:
     from sid_tpu.utils import profiling
 
@@ -330,19 +355,6 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
             conf_type="p_value",
         )
 
-    # transfer-slim device inputs (VERDICT r4 next #4): the device half only
-    # reads counts through an int32 cast and major/second as gather indices,
-    # so ship the narrowest lossless dtypes — uint16 counts (coverage per
-    # base < 65536 on any real pileup; guarded) and int8 allele indices.
-    # This halves the h2d bytes of the forced-device leg's dominant arrays.
-    counts_src = batch.counts
-    if counts_src.dtype != np.uint16 and n and int(counts_src.max()) < 65536:
-        counts_src = counts_src.astype(np.uint16)
-    elif counts_src.dtype != np.uint16:
-        counts_src = counts_src.astype(np.int32)
-    counts_p = pad_axis0(counts_src)
-    major_p = pad_axis0(major.astype(np.int8))
-    second_p = pad_axis0(second.astype(np.int8))
     log_het_p = pad_axis0(log_het)
 
     max_cov = int(batch.counts.sum(-1).max()) if n else 0
@@ -363,25 +375,36 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
 
     if options.exact_pvalues:
         # Sharded finalize, transfer-lean (r5): only the HET side touches
-        # the device (the allele-balance binomial needs the counts); the
-        # hom clamp and the two scalar prior adds are elementary host f64
-        # — bitwise-identical to the old on-device adds — so log_hom never
-        # ships up and only one f64 plane ships back. Measured r5: the old
-        # both-logs round trip made transfers the whole `call` stage of the
-        # forced-device leg (BENCH_detail.json stage breakdowns).
-        arrays = shard([counts_p, major_p, second_p, log_het_p])
+        # the device, and the binomial reads nothing but (n, k) = (top-2
+        # count sum, second count) — two narrow integer planes computed on
+        # host from exact integer gathers. The hom clamp and the two scalar
+        # prior adds are elementary host f64, bitwise-identical to the old
+        # on-device adds. h2d is (n, k, log_het), d2h one f64 plane —
+        # vs the pre-r5 path's full counts + indices + both log planes both
+        # ways (measured as the entire `call` stage of the forced-device
+        # leg, BENCH_detail.json stage breakdowns).
+        counts64 = batch.counts.astype(np.int64) if n else np.zeros((0, 4), np.int64)
+        idx = np.arange(n)
+        n_top2 = counts64[idx, major[:n]] + counts64[idx, second[:n]]
+        k_sec = counts64[idx, second[:n]]
+        nk_dtype = (
+            np.uint16 if (n == 0 or int(n_top2.max()) < 65536) else np.int32
+        )
+        n_p = pad_axis0(n_top2.astype(nk_dtype))
+        k_p = pad_axis0(k_sec.astype(nk_dtype))
+        arrays = shard([n_p, k_p, log_het_p])
         if device_precision() == "ds":
             from sid_tpu.ops.likelihoods_ds import lgamma_table_ds
 
             tab_ds = lgamma_table_ds(table_size(2 * max_cov))
             with profiling.device_stage("finalize_quality_het_ds"):
                 dev = [jnp.asarray(a) for a in arrays]
-                het_dev = _finalize_quality_het_ds_jit(*dev, tab_ds)
+                het_dev = _finalize_quality_het_nk_ds_jit(*dev, tab_ds)
                 lpp2 = np.asarray(het_dev)[:n]  # d2h inside the stage
         else:
             with profiling.device_stage("finalize_quality_het"):
                 dev = [jnp.asarray(a) for a in arrays]
-                het_dev = finalize_quality_het(*dev, tab)
+                het_dev = finalize_quality_het_nk(*dev, tab)
                 lpp2 = np.asarray(het_dev)[:n]  # d2h inside the stage
         lpp1 = common.clamp_ld_underflow_np(log_hom[:n])
         if snp_prior > 0:
@@ -391,6 +414,15 @@ def call_quality(batch, options: Options, diag=None) -> common.CallResult:
         p2 = stats.lrt_pvalue_from_logs_np(lpp1, lpp2)
         is_het = p2 < options.significance_level
     else:
+        # device-LRT flavor: full finalize kernel (narrow lossless dtypes)
+        counts_src = batch.counts
+        if counts_src.dtype != np.uint16 and n and int(counts_src.max()) < 65536:
+            counts_src = counts_src.astype(np.uint16)
+        elif counts_src.dtype != np.uint16:
+            counts_src = counts_src.astype(np.int32)
+        counts_p = pad_axis0(counts_src)
+        major_p = pad_axis0(major.astype(np.int8))
+        second_p = pad_axis0(second.astype(np.int8))
         log_hom_p = pad_axis0(log_hom)
         arrays = shard([counts_p, major_p, second_p, log_hom_p, log_het_p])
         with profiling.device_stage("finalize_quality"):

@@ -397,6 +397,19 @@ def finalize_quality_het_ds(
         + jnp.take_along_axis(counts, second[:, None], 1)[:, 0]
     )
     k = jnp.take_along_axis(counts, second[:, None], 1)[:, 0]
+    return finalize_quality_het_nk_ds(n, k, log_het, lgamma_tab)
+
+
+def finalize_quality_het_nk_ds(
+    n: jnp.ndarray,
+    k: jnp.ndarray,
+    log_het: jnp.ndarray,
+    lgamma_tab: ds.DS,
+) -> jnp.ndarray:
+    """Narrowest DS device half: binomial from (n, k) planes only (see
+    models/quality.finalize_quality_het_nk)."""
+    n = n.astype(jnp.int32)
+    k = k.astype(jnp.int32)
     log_c = ds.sub(
         ds.sub(_gather(lgamma_tab, n + 1), _gather(lgamma_tab, n - k + 1)),
         _gather(lgamma_tab, k + 1),

@@ -166,8 +166,15 @@ def warm_cache(
 MICROBENCH_U = 1 << 20  # the 1M-site shape bucket bench.py microbenches at
 
 
-def microbench_inputs(n: int = MICROBENCH_U):
+def microbench_inputs(n: int = MICROBENCH_U, seed: int = 0):
     """Deterministic 1M-row kernel inputs, device-put on a 1-device mesh.
+
+    ``seed`` varies the CONTENT (never the shapes/dtypes, so the compiled
+    executable is shared): the timing code cycles several variants so each
+    timed call runs on distinct device buffers — observed r5 on the axon
+    runtime, repeated execution of one executable on the SAME buffers
+    returns in ~0.3 ms (a result cache, not a 1M-row execution; the tunnel
+    dispatch alone costs ~100 ms).
 
     These are exactly the executables the device-forced e2e bench runs
     (mesh_devices=1, site axis sharded), so compiling them here makes
@@ -190,11 +197,14 @@ def microbench_inputs(n: int = MICROBENCH_U):
     from sid_tpu.ops.likelihoods_ds import lgamma_table_ds, log_int_table_ds
     from sid_tpu.parallel.mesh import make_site_mesh, row_sharding
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     profiles = rng.multinomial(30, [0.85, 0.08, 0.05, 0.02], (n,)).astype(np.int32)
     major, second = major_allele_indices_np(profiles.astype(np.int64))
     log_hom = rng.uniform(-40.0, -1.0, n)
     log_het = rng.uniform(-40.0, -1.0, n)
+    idx = np.arange(n)
+    n_top2 = (profiles[idx, major] + profiles[idx, second]).astype(np.uint16)
+    k_sec = profiles[idx, second].astype(np.uint16)
     mesh = make_site_mesh(1)
     sh2 = row_sharding(mesh, 2)
     sh1 = row_sharding(mesh, 1)
@@ -209,6 +219,8 @@ def microbench_inputs(n: int = MICROBENCH_U):
         second=jax.device_put(second, sh1),
         log_hom=jax.device_put(log_hom, sh1),
         log_het=jax.device_put(log_het, sh1),
+        n_top2=jax.device_put(n_top2, sh1),
+        k_sec=jax.device_put(k_sec, sh1),
         lgamma_tab=jax.device_put(
             jnp.asarray(lgamma_int_table(1023)), repl
         ),
@@ -234,9 +246,9 @@ def microbench_kernels():
     )
     from sid_tpu.models.quality import (
         _finalize_quality_ds_jit,
-        _finalize_quality_het_ds_jit,
+        _finalize_quality_het_nk_ds_jit,
         finalize_quality,
-        finalize_quality_het,
+        finalize_quality_het_nk,
     )
 
     thr = 0.1
@@ -271,20 +283,18 @@ def microbench_kernels():
                 a["log_het"], jnp.float64(-1.0), a["lgamma_tab_ds"],
             ),
         ),
-        # the transfer-lean het-only finalize (the sharded production path
-        # since r5; the full kernels above remain the non-exact_pvalues path)
+        # the transfer-lean (n, k)-plane finalize (the sharded production
+        # path since r5; the full kernels above remain non-exact_pvalues)
         (
             "finalize_quality_het_f64",
-            lambda a: finalize_quality_het(
-                a["profiles"], a["major"], a["second"], a["log_het"],
-                a["lgamma_tab"],
+            lambda a: finalize_quality_het_nk(
+                a["n_top2"], a["k_sec"], a["log_het"], a["lgamma_tab"],
             ),
         ),
         (
             "finalize_quality_het_ds",
-            lambda a: _finalize_quality_het_ds_jit(
-                a["profiles"], a["major"], a["second"], a["log_het"],
-                a["lgamma_tab_ds"],
+            lambda a: _finalize_quality_het_nk_ds_jit(
+                a["n_top2"], a["k_sec"], a["log_het"], a["lgamma_tab_ds"],
             ),
         ),
     ]
@@ -340,7 +350,16 @@ LOOP_K_BIG = 264
 
 
 def make_looped_kernel(fn, k: int):
-    """jit(args -> scalar) running ``fn`` k times back-to-back on device."""
+    """jit(args -> scalar) running ``fn`` k times back-to-back on device.
+
+    The iteration-to-iteration data dependency must touch an input the
+    kernel actually READS, or XLA hoists the loop-invariant body and the
+    loop measures nothing (caught r5: the (n, k)-plane finalize ignores
+    ``major``, and a major-only bump collapsed its 264-iteration loop to
+    one execution — 8- and 264-trip walls within 10%). The bump (always 0
+    at runtime) is therefore added to EVERY integer-dtype input plane;
+    every microbench kernel consumes at least one.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -348,19 +367,34 @@ def make_looped_kernel(fn, k: int):
     def looped(args):
         def body(_, carry):
             bump, acc = carry
-            a2 = dict(args)
-            a2["major"] = args["major"] + bump
+            a2 = {
+                name: (
+                    v + bump.astype(v.dtype)
+                    if getattr(v, "dtype", None) is not None
+                    and v.dtype.kind in "iu"
+                    else v
+                )
+                for name, v in args.items()
+            }
             out = fn(a2)
             s = sum(
                 jnp.sum(o.astype(jnp.float64))
                 for o in jax.tree_util.tree_leaves(out)
             )
-            s = jnp.nan_to_num(s)  # keep the bump 0 even on inf/nan outputs
-            bump = jnp.where(jnp.isnan(s), 1, 0).astype(args["major"].dtype)
+            # the bump must be UNPROVABLY zero: XLA:TPU folded the previous
+            # isnan(nan_to_num(s)) chain to a constant false, constant-folded
+            # the bump to 0 and hoisted the loop-invariant body — 264
+            # iterations ran as one (caught r5: loop walls ~0.1 ms at any K).
+            # The barrier hides s's provenance from the simplifier; isnan of
+            # an opaque f64 cannot fold. (A genuinely NaN kernel output would
+            # perturb later iterations' values — acceptable in a timing
+            # harness; all microbench kernels produce finite sums.)
+            s = jax.lax.optimization_barrier(s)
+            bump = jnp.where(jnp.isnan(s), 1, 0).astype(jnp.int32)
             return bump, acc + s
 
         _, acc = jax.lax.fori_loop(
-            0, k, body, (jnp.zeros((), args["major"].dtype), jnp.float64(0.0))
+            0, k, body, (jnp.int32(0), jnp.float64(0.0))
         )
         return acc
 
