@@ -410,10 +410,14 @@ def _start_device_keepalive():
     if jax.default_backend() == "cpu":
         return
 
-    # synchronous first dispatch: if the device is unreachable, fail loudly
-    # NOW (the watchdog falls back to CPU) instead of hanging 25 minutes in
+    # synchronous first ROUND TRIP (d2h fetch, not block_until_ready — the
+    # latter is not a completion barrier on this backend, CLAUDE.md): if the
+    # device is unreachable, fail loudly NOW (the watchdog falls back to
+    # CPU) instead of hanging 25 minutes in
+    import numpy as _np
+
     t0 = time.time()
-    jnp.zeros(128).block_until_ready()
+    _np.asarray(jnp.zeros(128)[:1])
     log(f"  device probe ok ({time.time() - t0:.2f}s, {jax.devices()[0]})")
 
     # the heartbeat itself is the shared implementation (one thread per

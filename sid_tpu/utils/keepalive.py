@@ -38,11 +38,16 @@ def ensure_device_keepalive() -> None:
 
         def loop():
             import jax.numpy as jnp
+            import numpy as np
 
             x = jnp.zeros(128)
             while True:
                 try:
-                    (x + 1.0).block_until_ready()
+                    # fetch (d2h) rather than block_until_ready: on the axon
+                    # backend ready-events can fire at enqueue (CLAUDE.md),
+                    # and a heartbeat that never round-trips might not
+                    # actually exercise the tunnel
+                    np.asarray((x + 1.0)[:1])
                 except Exception:
                     pass
                 time.sleep(INTERVAL_S)
