@@ -43,6 +43,14 @@ def _subprocess_env(extra):
         f for f in flags.split() if "host_platform_device_count" not in f
     )
     env["SIDTPU_PLATFORM"] = "cpu"
+    # pin the BACKEND too, and keep the ambient axon plugin out entirely:
+    # SIDTPU_PLATFORM only steers the CLI, so a raw-script child would
+    # otherwise register the remote-TPU plugin and default to it — its
+    # client allocations (tunnel-state-dependent, observed +63 MB) polluted
+    # the RSS-bounded merge assertion, and these children model plain CPU
+    # hosts in the first place
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update(extra)
     return env
 
